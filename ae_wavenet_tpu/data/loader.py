@@ -1,0 +1,52 @@
+"""Async host->device input pipeline (replaces torch_xla ParallelLoader).
+
+SURVEY.md §2.2: the reference feeds each TPU core via
+``torch_xla.distributed.parallel_loader.ParallelLoader``.  The JAX-native
+equivalent: batches are materialized on host (int16 — 2 bytes/sample; the
+decode to float and the whole MFCC frontend run ON DEVICE inside the jitted
+step), transferred with ``jax.device_put`` against the mesh sharding (each
+device receives only its batch shard), and double-buffered one step ahead so
+the transfer of batch ``s+1`` overlaps the compute of batch ``s``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator
+
+import jax
+
+from ae_wavenet_tpu.data.dataset import WindowSampler
+
+
+def device_batches(
+    sampler: WindowSampler,
+    start_step: int,
+    n_steps: int,
+    sharding=None,
+    prefetch: int = 2,
+) -> Iterator[tuple]:
+    """Yield (step, (wav, spk)) with the arrays already on device.
+
+    A background thread keeps ``prefetch`` transfers in flight; jax transfers
+    are async, so compute and host->HBM copies overlap.
+    """
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+
+    def put_fn(x):
+        return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+
+    def producer():
+        for s in range(start_step, start_step + n_steps):
+            wav, spk = sampler.batch_at(s)
+            q.put((s, (put_fn(wav), put_fn(spk))))
+        q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        yield item

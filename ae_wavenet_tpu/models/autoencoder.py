@@ -1,0 +1,176 @@
+"""The assembled WaveNet autoencoder + exact window bookkeeping.
+
+Rebuild of the reference ``model.py``/``autoencoder.py`` [M] (SURVEY.md
+§2.1, §3.3): encoder -> bottleneck -> upsampled local conditioning ->
+WaveNet decoder, combined loss = reconstruction CE + bottleneck terms.
+
+WindowSpec — the TPU-first replacement for runtime vconv threading
+------------------------------------------------------------------
+All coordinate bookkeeping is resolved ONCE at config time into static ints.
+Within a loader window U = [0, u_len) (wav samples):
+
+* frontend input     U[fb : fe]           -> MFCC stack -> latents -> cond
+* cond lattice       cond[j] is "centered" at wav position j + c_off where
+                     c_off = center of the cond chain's receptive field; we
+                     request cond outputs [0, t_in) and align them with the
+                     decoder input lattice starting at wav position c_off
+* decoder AR input   U[w0 : w0 + t_in),        w0 = c_off
+* loss targets       U[w0 + 1 + rf : w0 + 1 + rf + n_win)
+
+so ``logits[:, :, j]`` predicts the mu-law class of ``U[w0 + 1 + rf + j]``.
+The data loader draws random clip offsets for U and ships raw int16; mu-law
+targets and MFCC are computed on device inside the jitted step (the fused
+input stage of the north star).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ae_wavenet_tpu.audio import mfcc as mfcc_mod
+from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_encode
+from ae_wavenet_tpu.geometry.vconv import Chain, PlanStep, Range
+from ae_wavenet_tpu.models import bottlenecks, encoder, wavenet
+from ae_wavenet_tpu.utils.config import RunConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowSpec:
+    """Static window layout (all ints; see module docstring)."""
+
+    u_len: int                      # loader window length (wav samples)
+    fb: int                         # frontend input = U[fb:fe] (fb is
+    fe: int                         #   hop-aligned so frame lattices match)
+    w0: int                         # decoder AR input start = U[w0 : w0+t_in]
+    t_in: int                       # decoder input length
+    rf: int                         # decoder receptive field (left context)
+    n_win: int                      # loss samples per window
+    n_frames: int                   # MFCC stack frames fed to the encoder
+    up_steps: Tuple[PlanStep, ...]  # upsample-chain trims
+
+    @property
+    def tgt_b(self) -> int:
+        return self.w0 + 1 + self.rf
+
+
+def cond_chain(cfg: RunConfig) -> Chain:
+    """wav -> cond lattice: frontend + encoder + upsampling."""
+    return (
+        cfg.spec.geometry()
+        + encoder.geometry(cfg.encoder)
+        + wavenet.upsample_geometry(cfg.wavenet)
+    )
+
+
+def make_window_spec(cfg: RunConfig, n_win: int | None = None) -> WindowSpec:
+    n_win = cfg.train.n_win if n_win is None else n_win
+    rf = wavenet.receptive_field(cfg.wavenet)
+    t_in = n_win + rf
+    chain = cond_chain(cfg)
+    num, den = chain.total_stride()
+    if (num, den) != (1, 1):
+        raise ValueError(
+            f"cond chain resamples by {num}/{den}; upsample strides must "
+            f"invert hop_sz*down_stride exactly"
+        )
+    # wav window needed to produce cond[0 : t_in]
+    steps = chain.plan(Range(0, t_in))
+    f_in = steps[0].in_want
+    if f_in.b < 0:
+        raise ValueError(f"cond chain plan reaches before window start: {f_in}")
+    assert f_in.b % cfg.spec.hop_sz == 0  # plan guarantees stride alignment
+    # centering: cond[0]'s receptive field center in wav coords
+    r0 = chain.in_range(Range(0, 1))
+    c_off = (r0.b + r0.e) // 2
+    # window must cover the frontend input and targets up to c_off + t_in + 1
+    u_len = max(f_in.e, c_off + t_in + 1)
+
+    n_front = len(cfg.spec.geometry().layers)
+    front_out = steps[n_front - 1].out_want
+    enc_in = steps[n_front].in_want
+    assert front_out.as_tuple() == enc_in.as_tuple()
+    n_up = len(cfg.wavenet.lc_upsample_strides)
+    up_steps = steps[len(steps) - n_up :]
+    return WindowSpec(
+        u_len=u_len,
+        fb=f_in.b,
+        fe=f_in.e,
+        w0=c_off,
+        t_in=t_in,
+        rf=rf,
+        n_win=n_win,
+        n_frames=len(enc_in),
+        up_steps=tuple(up_steps),
+    )
+
+
+def init(key: jax.Array, cfg: RunConfig):
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "encoder": encoder.init(k1, cfg.encoder),
+        "wavenet": wavenet.init(k2, cfg.wavenet),
+    }
+    bn_params, bn_state = bottlenecks.init(k3, cfg.bottleneck)
+    params["bottleneck"] = bn_params
+    return params, bn_state
+
+
+def forward(
+    params: dict,
+    bn_state: dict,
+    cfg: RunConfig,
+    spec: WindowSpec,
+    wav_i16: jax.Array,   # [B, u_len] int16
+    spk: jax.Array,       # [B] int32 speaker ids
+    rng: jax.Array,
+    step: jax.Array,
+    train: bool,
+):
+    """One teacher-forcing pass. Returns (logits, targets, new_bn_state, aux)."""
+    dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+    wav = int16_to_float(wav_i16)
+
+    # --- fused on-device frontend (frame lattice matches the plan because
+    # fb is hop-aligned; the stack output is exactly the encoder's input)
+    frames = mfcc_mod.mfcc_delta_stack(wav[..., spec.fb : spec.fe], cfg.spec)
+    # per-utterance (per-window) mean/var normalization of the MFCC stack
+    mean = jnp.mean(frames, axis=-1, keepdims=True)
+    var = jnp.var(frames, axis=-1, keepdims=True)
+    frames = (frames - mean) * jax.lax.rsqrt(var + 1e-6)
+
+    # --- encoder + bottleneck
+    z = encoder.apply(params["encoder"], cfg.encoder, frames, dtype=dtype)
+    rng_bn, rng_j = jax.random.split(rng)
+    zq, new_bn_state, aux = bottlenecks.apply(
+        params["bottleneck"], bn_state, cfg.bottleneck, z, rng_j, step, train
+    )
+
+    # --- upsample to wav rate, decoder
+    cond = wavenet.upsample_apply(
+        params["wavenet"], cfg.wavenet, zq, spec.up_steps, dtype=dtype
+    )
+    ids = mu_encode(wav, cfg.wavenet.n_quant)
+    x_ids = ids[..., spec.w0 : spec.w0 + spec.t_in]
+    logits = wavenet.apply(
+        params["wavenet"], cfg.wavenet, x_ids, cond, spk, dtype=dtype
+    )
+    targets = ids[..., spec.tgt_b : spec.tgt_b + spec.n_win]
+    return logits, targets, new_bn_state, aux
+
+
+def loss_fn(
+    params, bn_state, cfg, spec, wav_i16, spk, rng, step, train: bool = True
+):
+    logits, targets, new_bn_state, aux = forward(
+        params, bn_state, cfg, spec, wav_i16, spk, rng, step, train
+    )
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
+    ce = -jnp.take_along_axis(logp, targets[:, None, :], axis=1)
+    recon = jnp.mean(ce)
+    total = recon + aux.get("bn_loss", 0.0)
+    metrics = {"loss": total, "recon_ce": recon, **aux}
+    return total, (new_bn_state, metrics)

@@ -1,0 +1,162 @@
+"""Pluggable bottlenecks: plain AE, VAE (KL-annealed), VQ-VAE with EMA
+codebook updates + straight-through estimator + temporal jitter.
+
+Rebuild of the reference bottleneck modules (SURVEY.md §2.1; behavior [H],
+algorithms from Chorowski et al. 2019 / van den Oord et al. 2017).
+
+TPU-first design notes
+----------------------
+* The VQ distance/argmin/one-hot statistics are pure matmuls on the MXU:
+  ``d(z, E) = |z|^2 - 2 z E^T + |E|^2`` and the EMA count/sum statistics are
+  ``onehot^T @ 1`` / ``onehot^T @ z`` contractions — no scatters.
+* EMA buffers are non-gradient state threaded through the train step.  Under
+  data parallelism the batch axis is sharded; the contractions above reduce
+  over the GLOBAL batch (XLA inserts the psum over ICI automatically when the
+  step is jitted with sharded batch inputs) — this is the "fused VQ device
+  kernel" + cross-replica EMA psum the north star requires.  A hand-written
+  Pallas fusion of the same computation lives in ops/vq_pallas.py.
+* All three bottlenecks share one interface::
+
+      params, state = init(key, cfg)
+      z_q, state, aux = apply(params, state, cfg, z, rng, step, train)
+
+  where ``aux`` carries loss terms and diagnostics.  ``state`` is empty for
+  AE/VAE.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ae_wavenet_tpu.utils.config import BottleneckConfig
+
+
+def init(key: jax.Array, cfg: BottleneckConfig):
+    if cfg.kind == "ae":
+        return {}, {}
+    if cfg.kind == "vae":
+        k1, k2 = jax.random.split(key)
+        s = 1.0 / jnp.sqrt(cfg.n_dim)
+        params = {
+            "w_mu": jax.random.normal(k1, (cfg.n_dim, cfg.n_dim), jnp.float32) * s,
+            "b_mu": jnp.zeros((cfg.n_dim,), jnp.float32),
+            "w_sig": jax.random.normal(k2, (cfg.n_dim, cfg.n_dim), jnp.float32) * s,
+            "b_sig": jnp.zeros((cfg.n_dim,), jnp.float32),
+        }
+        return params, {}
+    if cfg.kind == "vq":
+        codebook = jax.random.normal(key, (cfg.vq_k, cfg.n_dim), jnp.float32)
+        state = {
+            "codebook": codebook,
+            "ema_counts": jnp.ones((cfg.vq_k,), jnp.float32),
+            "ema_sums": codebook.copy(),
+        }
+        return {}, state
+    raise ValueError(f"unknown bottleneck kind {cfg.kind!r}")
+
+
+# ----------------------------------------------------------------- plain AE
+
+def _apply_ae(z):
+    return z, {}, {"bn_loss": jnp.float32(0.0)}
+
+
+# ---------------------------------------------------------------------- VAE
+
+def _apply_vae(params, cfg: BottleneckConfig, z, rng, step, train):
+    # z: [B, D, T]
+    mu = jnp.einsum("bdt,ed->bet", z, params["w_mu"]) + params["b_mu"][None, :, None]
+    log_sig = (
+        jnp.einsum("bdt,ed->bet", z, params["w_sig"]) + params["b_sig"][None, :, None]
+    )
+    log_sig = jnp.clip(log_sig, -7.0, 7.0)
+    if train:
+        eps = jax.random.normal(rng, mu.shape, mu.dtype)
+        zq = mu + jnp.exp(log_sig) * eps
+    else:
+        zq = mu
+    # KL(N(mu, sig) || N(0, 1)) per dim, free-bits floored, averaged
+    kl = 0.5 * (jnp.square(mu) + jnp.exp(2.0 * log_sig) - 2.0 * log_sig - 1.0)
+    kl = jnp.maximum(kl, cfg.free_nats)
+    kl = jnp.mean(jnp.sum(kl, axis=1))  # nats per latent frame
+    if cfg.kl_anneal_steps > 0:
+        w = jnp.minimum(step.astype(jnp.float32) / cfg.kl_anneal_steps, 1.0)
+    else:
+        w = jnp.float32(1.0)
+    aux = {"bn_loss": w * kl, "kl": kl, "kl_weight": w}
+    return zq, {}, aux
+
+
+# ------------------------------------------------------------------- VQ-EMA
+
+def _jitter(zq, rng, p):
+    """Temporal jitter regularizer (Chorowski §jitter): each timestep is
+    independently replaced by its left/right neighbor with prob p/2 each."""
+    b, d, t = zq.shape
+    u = jax.random.uniform(rng, (b, 1, t))
+    left = jnp.concatenate([zq[..., :1], zq[..., :-1]], axis=-1)
+    right = jnp.concatenate([zq[..., 1:], zq[..., -1:]], axis=-1)
+    out = jnp.where(u < p / 2, left, zq)
+    return jnp.where(u > 1.0 - p / 2, right, out)
+
+
+def _apply_vq(state, cfg: BottleneckConfig, z, rng, train):
+    # z: [B, D, T] -> flatten to [N, D]
+    b, d, t = z.shape
+    e = state["codebook"]  # [K, D]
+    zf = jnp.reshape(jnp.transpose(z, (0, 2, 1)), (b * t, d))
+    # squared distances via MXU-friendly contraction
+    d2 = (
+        jnp.sum(jnp.square(zf), axis=1, keepdims=True)
+        - 2.0 * (zf @ e.T)
+        + jnp.sum(jnp.square(e), axis=1)[None, :]
+    )  # [N, K]
+    idx = jnp.argmin(d2, axis=1)  # [N]
+    onehot = jax.nn.one_hot(idx, cfg.vq_k, dtype=jnp.float32)  # [N, K]
+    q = onehot @ e  # [N, D]
+
+    # EMA codebook statistics over the GLOBAL batch (sharded-N contraction
+    # compiles to a psum over the data axis under pjit).
+    counts = jnp.sum(onehot, axis=0)  # [K]
+    sums = onehot.T @ jax.lax.stop_gradient(zf)  # [K, D]
+    decay = cfg.ema_decay
+    new_counts = decay * state["ema_counts"] + (1.0 - decay) * counts
+    new_sums = decay * state["ema_sums"] + (1.0 - decay) * sums
+    n = jnp.sum(new_counts)
+    smoothed = (new_counts + cfg.ema_eps) / (n + cfg.vq_k * cfg.ema_eps) * n
+    new_codebook = new_sums / smoothed[:, None]
+    new_state = {
+        "codebook": new_codebook if train else state["codebook"],
+        "ema_counts": new_counts if train else state["ema_counts"],
+        "ema_sums": new_sums if train else state["ema_sums"],
+    }
+
+    commitment = jnp.mean(jnp.sum(jnp.square(zf - jax.lax.stop_gradient(q)), axis=1))
+    # straight-through: gradient flows to z, value is q
+    zq = zf + jax.lax.stop_gradient(q - zf)
+    zq = jnp.transpose(jnp.reshape(zq, (b, t, d)), (0, 2, 1))
+    if train and cfg.jitter_p > 0.0:
+        zq = _jitter(zq, rng, cfg.jitter_p)
+
+    avg = counts / jnp.maximum(jnp.sum(counts), 1.0)
+    perplexity = jnp.exp(-jnp.sum(avg * jnp.log(jnp.maximum(avg, 1e-10))))
+    aux = {
+        "bn_loss": cfg.vq_beta * commitment,
+        "commitment": commitment,
+        "perplexity": perplexity,
+    }
+    return zq, new_state, aux
+
+
+def apply(params, state, cfg: BottleneckConfig, z, rng, step, train: bool):
+    """Dispatch on cfg.kind.  z: [B, n_dim, T] -> (z_q, new_state, aux)."""
+    if cfg.kind == "ae":
+        zq, new_state, aux = _apply_ae(z)
+    elif cfg.kind == "vae":
+        zq, new_state, aux = _apply_vae(params, cfg, z, rng, step, train)
+    elif cfg.kind == "vq":
+        zq, new_state, aux = _apply_vq(state, cfg, z, rng, train)
+    else:
+        raise ValueError(f"unknown bottleneck kind {cfg.kind!r}")
+    return zq, new_state, aux

@@ -1,0 +1,192 @@
+"""Training chassis: owns model/optimizer/loader, runs the compiled step loop.
+
+Rebuild of the reference ``chassis.py`` [H] (SURVEY.md §2.1, §3.1): step
+loop, loss accumulation and reporting, LR schedule, periodic checkpointing,
+device placement.  TPU-native differences:
+
+* ONE jitted train step (fwd + bwd + optimizer + VQ-EMA update) — the whole
+  thing is a single XLA program; buffers are donated so params update
+  in-place in HBM.
+* Data parallelism: batch sharded over a 1-D mesh, params replicated; XLA
+  inserts the grad allreduce over ICI (no xm.optimizer_step equivalent
+  needed).
+* No per-step host syncs: metrics stay on device and are only fetched at
+  log points (the classic torch_xla perf trap the reference had to avoid,
+  §3.1).
+* RNG: per-step keys are fold_in(base, step) — fully reproducible and
+  resume-stable.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ae_wavenet_tpu.data.dataset import PackedDataset, WindowSampler
+from ae_wavenet_tpu.data.loader import device_batches
+from ae_wavenet_tpu.models import autoencoder as ae
+from ae_wavenet_tpu.parallel import mesh as mesh_mod
+from ae_wavenet_tpu.training import checkpoint as ckpt_mod
+from ae_wavenet_tpu.utils.config import RunConfig
+
+
+def make_optimizer(cfg: RunConfig) -> optax.GradientTransformation:
+    t = cfg.train
+    if t.lr_boundaries:
+        schedules = [optax.constant_schedule(v) for v in t.lr_values]
+        lr = optax.join_schedules(schedules, list(t.lr_boundaries))
+    else:
+        lr = t.learning_rate
+    tx = []
+    if t.grad_clip > 0:
+        tx.append(optax.clip_by_global_norm(t.grad_clip))
+    if t.weight_decay > 0:
+        tx.append(optax.adamw(lr, b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps,
+                              weight_decay=t.weight_decay))
+    else:
+        tx.append(optax.adam(lr, b1=t.adam_b1, b2=t.adam_b2, eps=t.adam_eps))
+    return optax.chain(*tx)
+
+
+def make_train_step(cfg: RunConfig, spec: ae.WindowSpec, optimizer, base_key, mesh=None):
+    """Build the single compiled train step.
+
+    (params, opt_state, bn_state, wav_i16, spk, step) ->
+    (params, opt_state, bn_state, metrics)
+    """
+
+    def step_fn(params, opt_state, bn_state, wav, spk, step):
+        rng = jax.random.fold_in(base_key, step)
+        grad_fn = jax.value_and_grad(ae.loss_fn, has_aux=True)
+        (_, (new_bn_state, metrics)), grads = grad_fn(
+            params, bn_state, cfg, spec, wav, spk, rng, step
+        )
+        updates, new_opt_state = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_params, new_opt_state, new_bn_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0, 1, 2))
+    repl = mesh_mod.replicated(mesh)
+    data = mesh_mod.batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, repl, data, data, repl),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2),
+    )
+
+
+class Chassis:
+    """Owns cfg + state; ``train(n)`` runs the loop; checkpoint/resume."""
+
+    def __init__(
+        self,
+        cfg: RunConfig,
+        data_prefix: str,
+        ckpt_dir: str | None = None,
+        mesh=None,
+        log_stream=None,
+    ):
+        self.cfg = cfg
+        self.ckpt_dir = ckpt_dir
+        self.mesh = mesh
+        self.log_stream = log_stream if log_stream is not None else sys.stdout
+        self.spec = ae.make_window_spec(cfg)
+        self.dataset = PackedDataset(data_prefix)
+        if self.dataset.n_speakers > cfg.wavenet.n_speakers:
+            raise ValueError(
+                f"dataset has {self.dataset.n_speakers} speakers but "
+                f"wavenet.n_speakers={cfg.wavenet.n_speakers}"
+            )
+        if mesh is not None:
+            mesh_mod.check_batch_divisible(cfg.train.batch_sz, mesh)
+        self.sampler = WindowSampler(
+            self.dataset, self.spec.u_len, cfg.train.batch_sz, cfg.train.seed
+        )
+        self.optimizer = make_optimizer(cfg)
+        base_key = jax.random.PRNGKey(cfg.train.seed)
+        self.step_fn = make_train_step(cfg, self.spec, self.optimizer, base_key, mesh)
+        self.step = 0
+        init_key = jax.random.PRNGKey(cfg.train.seed + 1)
+        self.params, self.bn_state = ae.init(init_key, cfg)
+        self.opt_state = self.optimizer.init(self.params)
+        if mesh is not None:
+            repl = mesh_mod.replicated(mesh)
+            self.params = jax.device_put(self.params, repl)
+            self.bn_state = jax.device_put(self.bn_state, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+
+    # ------------------------------------------------------------ persist
+    def save(self) -> str:
+        tree = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "bn_state": self.bn_state,
+        }
+        return ckpt_mod.save(self.ckpt_dir, self.step, tree, self.cfg)
+
+    def resume(self, step: int | None = None) -> int:
+        step, tree, _cfg = ckpt_mod.load(self.ckpt_dir, step)
+        # restore array types/shardings by matching the initialized pytrees
+        put = (
+            functools.partial(jax.device_put, device=mesh_mod.replicated(self.mesh))
+            if self.mesh is not None
+            else jax.device_put
+        )
+        def merge(ref, new):
+            # restored containers may differ (tuple->list etc.); rebuild into
+            # the reference structure by leaf order
+            return jax.tree.unflatten(
+                jax.tree.structure(ref),
+                [put(jnp.asarray(x)) for x in jax.tree.leaves(new)],
+            )
+
+        self.params = merge(self.params, tree["params"])
+        self.opt_state = merge(self.opt_state, tree["opt_state"])
+        self.bn_state = merge(self.bn_state, tree["bn_state"])
+        self.step = step
+        return step
+
+    # -------------------------------------------------------------- train
+    def train(self, n_steps: int | None = None) -> list[dict]:
+        t_cfg = self.cfg.train
+        n_steps = t_cfg.n_steps if n_steps is None else n_steps
+        sharding = mesh_mod.batch_sharding(self.mesh) if self.mesh is not None else None
+        history: list[dict] = []
+        start = self.step
+        t0 = time.time()
+        samples_done = 0
+        for s, (wav, spk) in device_batches(
+            self.sampler, self.step, n_steps, sharding
+        ):
+            self.params, self.opt_state, self.bn_state, metrics = self.step_fn(
+                self.params, self.opt_state, self.bn_state, wav, spk, jnp.int32(s)
+            )
+            self.step = s + 1
+            samples_done += t_cfg.batch_sz * self.spec.n_win
+            if (s + 1) % t_cfg.log_every == 0 or s + 1 == start + n_steps:
+                fetched = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t0
+                rec = {
+                    "step": self.step,
+                    "samples_per_sec": samples_done / max(dt, 1e-9),
+                    **fetched,
+                }
+                history.append(rec)
+                self.log_stream.write(json.dumps(rec) + "\n")
+                self.log_stream.flush()
+                t0 = time.time()
+                samples_done = 0
+            if self.ckpt_dir and self.step % t_cfg.ckpt_every == 0:
+                self.save()
+        return history

@@ -1,0 +1,160 @@
+"""Config system: frozen dataclasses, serialized into every checkpoint.
+
+Rebuild of the reference's two-phase argparse contract (``parse_tools.py``
+[SURVEY.md §2.1]: ``new`` takes full arch+train flags, ``resume`` reloads the
+persisted config from the checkpoint so architecture flags cannot drift).
+Here the same contract is: the full :class:`RunConfig` is serialized as JSON
+inside the checkpoint; ``resume`` restores it and only runtime flags may be
+overridden.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Tuple
+
+from ae_wavenet_tpu.audio.mfcc import SpecConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """Chorowski-style MFCC encoder (reference ``encoder.py`` [M])."""
+
+    n_in: int = 39            # 13 MFCC + deltas + delta-deltas
+    n_ch: int = 768
+    n_pre_res: int = 1        # residual pairs of k=3 convs before downsample
+    down_filter: int = 4
+    down_stride: int = 2      # 100 Hz frames -> 50 Hz latents
+    n_post_res: int = 2       # residual pairs after downsample
+    n_out: int = 64           # bottleneck dimensionality
+
+
+@dataclasses.dataclass(frozen=True)
+class BottleneckConfig:
+    """Pluggable bottleneck: plain AE / VAE / VQ-VAE-EMA (reference
+    bottleneck modules [SURVEY.md §2.1])."""
+
+    kind: str = "ae"          # 'ae' | 'vae' | 'vq'
+    n_dim: int = 64
+    # --- vq ---
+    vq_k: int = 512           # codebook size
+    vq_beta: float = 0.25     # commitment loss weight
+    ema_decay: float = 0.99
+    ema_eps: float = 1e-5     # Laplace smoothing of EMA counts
+    jitter_p: float = 0.12    # temporal jitter regularizer (train only)
+    # --- vae ---
+    free_nats: float = 0.0    # per-dim KL floor (free bits)
+    kl_anneal_steps: int = 0  # linear KL-weight ramp; 0 = constant 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class WaveNetConfig:
+    """Autoregressive WaveNet decoder (reference ``wavenet.py`` [H])."""
+
+    n_blocks: int = 2
+    n_block_layers: int = 10  # dilations 1,2,...,2^(n-1) per block
+    filter_sz: int = 2
+    n_res: int = 384
+    n_dil: int = 256
+    n_skp: int = 256
+    n_post: int = 256
+    n_quant: int = 256        # mu-law classes
+    n_lc_in: int = 64         # local conditioning input channels
+    n_lc_out: int = 128       # channels inside the upsampling stack
+    # transposed-conv upsampling 50 Hz -> 16 kHz; product of strides must be
+    # hop_sz * down_stride; filters default to 2*stride
+    lc_upsample_strides: Tuple[int, ...] = (5, 4, 4, 4)
+    lc_upsample_filters: Tuple[int, ...] = (10, 8, 8, 8)
+    n_speakers: int = 40
+    n_global_embed: int = 32
+
+    @property
+    def dilations(self) -> Tuple[int, ...]:
+        return tuple(
+            2**i for _ in range(self.n_blocks) for i in range(self.n_block_layers)
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_sz: int = 16
+    n_win: int = 1600         # loss samples per window (like reference n_win)
+    learning_rate: float = 4e-4
+    lr_boundaries: Tuple[int, ...] = ()   # steps at which LR changes
+    lr_values: Tuple[float, ...] = ()     # len = len(boundaries) + 1 (if set)
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.0
+    grad_clip: float = 0.0    # 0 = off
+    seed: int = 0
+    n_steps: int = 100000
+    ckpt_every: int = 1000
+    log_every: int = 50
+    compute_dtype: str = "bfloat16"  # matmul/conv dtype; params stay f32
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    spec: SpecConfig = SpecConfig()
+    encoder: EncoderConfig = EncoderConfig()
+    bottleneck: BottleneckConfig = BottleneckConfig()
+    wavenet: WaveNetConfig = WaveNetConfig()
+    train: TrainConfig = TrainConfig()
+    model_kind: str = "autoencoder"  # 'autoencoder' | 'mfcc_inverter'
+
+
+def _to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def to_json(cfg: RunConfig) -> str:
+    return json.dumps(_to_dict(cfg), indent=1, sort_keys=True)
+
+
+def _build(cls, d: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if isinstance(v, list):
+            v = tuple(v)
+        kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def from_json(s: str) -> RunConfig:
+    d = json.loads(s)
+    return RunConfig(
+        spec=_build(SpecConfig, d["spec"]),
+        encoder=_build(EncoderConfig, d["encoder"]),
+        bottleneck=_build(BottleneckConfig, d["bottleneck"]),
+        wavenet=_build(WaveNetConfig, d["wavenet"]),
+        train=_build(TrainConfig, d["train"]),
+        model_kind=d.get("model_kind", "autoencoder"),
+    )
+
+
+def tiny_config(**overrides) -> RunConfig:
+    """BASELINE config 1: tiny plain-AE WaveNet, CPU-runnable (the e2e
+    integration fixture)."""
+    cfg = RunConfig(
+        encoder=EncoderConfig(n_ch=48, n_pre_res=1, n_post_res=1, n_out=16),
+        bottleneck=BottleneckConfig(kind="ae", n_dim=16),
+        wavenet=WaveNetConfig(
+            n_blocks=1,
+            n_block_layers=6,
+            n_res=32,
+            n_dil=32,
+            n_skp=32,
+            n_post=32,
+            n_lc_in=16,
+            n_lc_out=32,
+            n_speakers=10,
+            n_global_embed=8,
+        ),
+        train=TrainConfig(batch_sz=2, n_win=320, compute_dtype="float32"),
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
