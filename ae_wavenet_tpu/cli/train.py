@@ -1,0 +1,142 @@
+"""CLI: training (rebuild of reference ``train.py`` + ``parse_tools.py`` [H]).
+
+Two-phase contract like the reference: ``new`` takes the full architecture +
+training flags; ``resume`` reloads the config persisted inside the checkpoint
+and only allows runtime overrides (n-steps, logging) — architecture cannot
+drift.
+
+    python -m ae_wavenet_tpu.cli.train new --data PREFIX --ckpt-dir DIR \
+        [--preset tiny|full] [--bottleneck ae|vae|vq] [--model autoencoder|mfcc_inverter] ...
+    python -m ae_wavenet_tpu.cli.train resume --ckpt-dir DIR [--n-steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from ae_wavenet_tpu.utils import config as config_mod
+
+
+def _add_runtime_flags(p):
+    p.add_argument("--data", required=True, help="packed dataset prefix")
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--n-steps", type=int, default=None)
+    p.add_argument("--log-every", type=int, default=None)
+    p.add_argument("--ckpt-every", type=int, default=None)
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the batch over all visible devices")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ae-wavenet-tpu-train", description=__doc__)
+    sub = p.add_subparsers(dest="mode", required=True)
+
+    new = sub.add_parser("new", help="start a fresh run")
+    _add_runtime_flags(new)
+    new.add_argument("--preset", choices=["tiny", "full"], default="full")
+    new.add_argument("--model", choices=["autoencoder", "mfcc_inverter"],
+                     default="autoencoder")
+    new.add_argument("--bottleneck", choices=["ae", "vae", "vq"], default=None)
+    # architecture overrides (subset mirroring the reference's flag names)
+    new.add_argument("--n-quant", type=int, default=None)
+    new.add_argument("--n-res", type=int, default=None)
+    new.add_argument("--n-dil", type=int, default=None)
+    new.add_argument("--n-skp", type=int, default=None)
+    new.add_argument("--n-post", type=int, default=None)
+    new.add_argument("--n-blocks", type=int, default=None)
+    new.add_argument("--n-block-layers", type=int, default=None)
+    new.add_argument("--bn-dim", type=int, default=None, help="bottleneck dim")
+    new.add_argument("--vq-k", type=int, default=None)
+    new.add_argument("--n-speakers", type=int, default=None)
+    new.add_argument("--jitter-p", type=float, default=None)
+    new.add_argument("--free-nats", type=float, default=None)
+    new.add_argument("--kl-anneal-steps", type=int, default=None)
+    # training overrides
+    new.add_argument("--batch-sz", type=int, default=None)
+    new.add_argument("--n-win", type=int, default=None)
+    new.add_argument("--learning-rate", type=float, default=None)
+    new.add_argument("--grad-clip", type=float, default=None)
+    new.add_argument("--seed", type=int, default=None)
+    new.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default=None)
+
+    res = sub.add_parser("resume", help="resume from the latest checkpoint")
+    _add_runtime_flags(res)
+    res.add_argument("--step", type=int, default=None, help="checkpoint step")
+    return p
+
+
+def config_from_args(a) -> config_mod.RunConfig:
+    cfg = (config_mod.tiny_config() if a.preset == "tiny"
+           else config_mod.RunConfig())
+    wn, bn, tr, enc = cfg.wavenet, cfg.bottleneck, cfg.train, cfg.encoder
+
+    def over(dc, **kv):
+        kv = {k: v for k, v in kv.items() if v is not None}
+        return dataclasses.replace(dc, **kv) if kv else dc
+
+    wn = over(wn, n_quant=a.n_quant, n_res=a.n_res, n_dil=a.n_dil,
+              n_skp=a.n_skp, n_post=a.n_post, n_blocks=a.n_blocks,
+              n_block_layers=a.n_block_layers, n_speakers=a.n_speakers)
+    bn = over(bn, kind=a.bottleneck, n_dim=a.bn_dim, vq_k=a.vq_k,
+              jitter_p=a.jitter_p, free_nats=a.free_nats,
+              kl_anneal_steps=a.kl_anneal_steps)
+    if a.bn_dim is not None:
+        enc = dataclasses.replace(enc, n_out=a.bn_dim)
+        wn = dataclasses.replace(wn, n_lc_in=a.bn_dim)
+    tr = over(tr, batch_sz=a.batch_sz, n_win=a.n_win,
+              learning_rate=a.learning_rate, grad_clip=a.grad_clip,
+              seed=a.seed, compute_dtype=a.compute_dtype)
+    if a.model == "mfcc_inverter":
+        # upsampling must invert hop_sz alone (no encoder downsample)
+        wn = dataclasses.replace(
+            wn, lc_upsample_strides=(5, 4, 4, 2), lc_upsample_filters=(10, 8, 8, 4)
+        )
+    return dataclasses.replace(
+        cfg, wavenet=wn, bottleneck=bn, train=tr, encoder=enc, model_kind=a.model
+    )
+
+
+def main(argv=None) -> int:
+    a = build_parser().parse_args(argv)
+    # defer heavy imports so --help stays fast
+    from ae_wavenet_tpu.parallel.mesh import make_mesh
+    from ae_wavenet_tpu.training import checkpoint as ckpt_mod
+    from ae_wavenet_tpu.training.chassis import Chassis
+
+    if a.mode == "new":
+        cfg = config_from_args(a)
+    else:
+        if not a.ckpt_dir:
+            raise SystemExit("resume requires --ckpt-dir")
+        step = ckpt_mod.latest_step(a.ckpt_dir) if a.step is None else a.step
+        if step is None:
+            raise SystemExit(f"no checkpoints under {a.ckpt_dir}")
+        import json
+        import os
+        with open(os.path.join(a.ckpt_dir, f"step_{step:08d}", "run_config.json")) as f:
+            cfg = config_mod.from_json(f.read())
+
+    def over(dc, **kv):
+        kv = {k: v for k, v in kv.items() if v is not None}
+        return dataclasses.replace(dc, **kv) if kv else dc
+
+    cfg = dataclasses.replace(
+        cfg, train=over(cfg.train, n_steps=a.n_steps, log_every=a.log_every,
+                        ckpt_every=a.ckpt_every)
+    )
+    mesh = make_mesh() if a.mesh else None
+    ch = Chassis(cfg, a.data, ckpt_dir=a.ckpt_dir, mesh=mesh)
+    if a.mode == "resume":
+        ch.resume(a.step)
+        print(f"resumed at step {ch.step}")
+    print(config_mod.to_json(cfg))
+    ch.train(cfg.train.n_steps)
+    if a.ckpt_dir:
+        path = ch.save()
+        print(f"saved {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

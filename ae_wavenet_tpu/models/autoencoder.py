@@ -162,6 +162,73 @@ def forward(
     return logits, targets, new_bn_state, aux
 
 
+def encode(
+    params: dict,
+    bn_state: dict,
+    cfg: RunConfig,
+    wav_i16: jax.Array,   # [B, T] int16 — a whole utterance
+    rng: jax.Array,
+):
+    """Full-utterance conditioning for generation: wav -> cond [B, C, Tc].
+
+    cond column t conditions the AR step that consumes wav position
+    t + c_off, where c_off is the cond-chain center offset (same alignment
+    as training; see make_window_spec).  Returns (cond, c_off).
+    """
+    chain = cond_chain(cfg)
+    r0 = chain.in_range(Range(0, 1))
+    c_off = (r0.b + r0.e) // 2
+    wav = int16_to_float(wav_i16)
+    frames = mfcc_mod.mfcc_delta_stack(wav, cfg.spec)
+    mean = jnp.mean(frames, axis=-1, keepdims=True)
+    var = jnp.var(frames, axis=-1, keepdims=True)
+    frames = (frames - mean) * jax.lax.rsqrt(var + 1e-6)
+    z = encoder.apply(params["encoder"], cfg.encoder, frames)
+    zq, _, _ = bottlenecks.apply(
+        params["bottleneck"], bn_state, cfg.bottleneck, z, rng,
+        jnp.int32(0), train=False,
+    )
+    up_chain = wavenet.upsample_geometry(cfg.wavenet)
+    steps = up_chain.plan(Range(0, up_chain.out_len(zq.shape[-1])))
+    cond = wavenet.upsample_apply(params["wavenet"], cfg.wavenet, zq, steps)
+    return cond, c_off
+
+
+def reconstruct(
+    params: dict,
+    bn_state: dict,
+    cfg: RunConfig,
+    wav_i16: jax.Array,   # [B, T] int16
+    spk: jax.Array,       # [B]
+    rng: jax.Array,
+    temperature: float = 1.0,
+    n_samples: int | None = None,
+):
+    """Autoencode a whole utterance: encode -> prime on real left context ->
+    autoregressively sample.  Returns (mu-law ids [B, n], start) where the
+    output corresponds to input positions [start, start + n)."""
+    from ae_wavenet_tpu.audio.mulaw import mu_decode  # noqa: F401 (callers)
+    from ae_wavenet_tpu.ops import fastgen
+
+    rng_e, rng_g = jax.random.split(rng)
+    cond, c_off = encode(params, bn_state, cfg, wav_i16, rng_e)
+    rf = wavenet.receptive_field(cfg.wavenet)
+    tc = cond.shape[-1]
+    if tc <= rf + 1:
+        raise ValueError(f"utterance too short: {tc} cond frames <= rf+1")
+    n = tc - rf - 1 if n_samples is None else min(n_samples, tc - rf - 1)
+    ids = mu_encode(int16_to_float(wav_i16), cfg.wavenet.n_quant)
+    # prime on real samples at positions [c_off, c_off + rf + 1)
+    ctx = ids[..., c_off : c_off + rf + 1]
+    state = fastgen.init_state(cfg.wavenet, wav_i16.shape[0])
+    state = fastgen.prime(params["wavenet"], cfg.wavenet, state, ctx, cond, spk)
+    out, _ = fastgen.generate(
+        params["wavenet"], cfg.wavenet, state, cond[..., rf : rf + n],
+        rng_g, gc_ids=spk, temperature=temperature,
+    )
+    return out, c_off + rf + 1
+
+
 def loss_fn(
     params, bn_state, cfg, spec, wav_i16, spk, rng, step, train: bool = True
 ):

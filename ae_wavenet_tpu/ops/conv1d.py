@@ -33,6 +33,10 @@ def conv1d(
 
     Geometry: ``vconv.Conv(filter_sz=F, stride=stride, dilation=dilation)``.
     """
+    # NOTE: output dtype follows the input dtype (no preferred_element_type
+    # upcast): the TPU MXU accumulates bf16 convs in f32 internally, and an
+    # explicit f32 upcast here breaks the conv VJP (the transpose rule would
+    # pair an f32 cotangent with bf16 weights, which lax rejects).
     y = lax.conv_general_dilated(
         x,
         w,
@@ -40,10 +44,9 @@ def conv1d(
         padding="VALID",
         rhs_dilation=(dilation,),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
     )
     if b is not None:
-        y = y + b[None, :, None]
+        y = y + b[None, :, None].astype(y.dtype)
     return y
 
 
@@ -73,9 +76,8 @@ def tconv1d(
         padding=[(f - 1, f - 1)],
         lhs_dilation=(stride,),
         dimension_numbers=_DN,
-        preferred_element_type=jnp.float32,
     )
     y = y[..., (f - 1) : y.shape[-1] - (f - 1)]
     if b is not None:
-        y = y + b[None, :, None]
+        y = y + b[None, :, None].astype(y.dtype)
     return y

@@ -1,0 +1,207 @@
+"""Fast autoregressive WaveNet sampling: O(1)/sample ring-buffer queues.
+
+The reference generates naively — it re-runs the conv stack over the whole
+receptive field for every emitted sample (SURVEY.md §3.4, O(R)/sample).
+This module implements the Fast WaveNet algorithm (arXiv:1611.09482): each
+dilated layer keeps a queue of its last ``dilation`` input activations, so
+one new sample costs one matmul pass through the stack.
+
+TPU-first design: the per-sample cell is a chain of small matmuls on [B, C]
+blocks (batch amortizes the MXU), compiled once inside a ``lax.scan`` over
+time; ring-buffer reads/writes are ``dynamic_index_in_dim`` at ``t mod d``.
+Weights stay in registers/VMEM across the scan body — XLA hoists them.
+A fully fused Pallas cell (all layers + sampling in one kernel, buffers
+resident in VMEM) is the next optimization stage; this scan version is the
+correctness anchor, verified bit-close against teacher forcing
+(tests/test_fastgen.py).
+
+State layout (pytree) per layer l: buf [B, n_res, d_l] holding the layer's
+input activation at positions t-1 .. t-d_l (circular, index t mod d_l).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ae_wavenet_tpu.utils.config import WaveNetConfig
+
+
+class GenState(NamedTuple):
+    bufs: Tuple[jax.Array, ...]  # per layer [B, n_res, d_l]
+    prev_id: jax.Array           # [B] int32 — last emitted/consumed sample
+    t: jax.Array                 # scalar int32 — global time (buffer phase)
+
+
+def init_state(cfg: WaveNetConfig, batch: int, fill_id: int = 128) -> GenState:
+    """Zero-filled queues; ``fill_id`` (mu-law silence) seeds the AR input."""
+    bufs = tuple(
+        jnp.zeros((batch, cfg.n_res, d), jnp.float32) for d in cfg.dilations
+    )
+    return GenState(
+        bufs=bufs,
+        prev_id=jnp.full((batch,), fill_id, jnp.int32),
+        t=jnp.int32(0),
+    )
+
+
+def _cell(params, cfg: WaveNetConfig, state: GenState, x_id: jax.Array,
+          cond_t: jax.Array, dtype):
+    """One AR step: consume sample id x_id [B] + cond column [B, n_cond]
+    -> (new_state_bufs, logits [B, n_quant])."""
+    x = jnp.take(params["embed"], x_id, axis=0)  # [B, n_res]
+    skip = None
+    new_bufs = []
+    for i, d in enumerate(cfg.dilations):
+        p = params["layers"][i]
+        buf = state.bufs[i]
+        ptr = jnp.mod(state.t, d)
+        x_prev = jax.lax.dynamic_index_in_dim(buf, ptr, axis=2, keepdims=False)
+        new_bufs.append(
+            jax.lax.dynamic_update_index_in_dim(buf, x, ptr, axis=2)
+        )
+        y = (
+            jnp.einsum("oc,bc->bo", p["w_prev"]["w"].astype(dtype), x_prev.astype(dtype),
+                       preferred_element_type=jnp.float32)
+            + p["w_prev"]["b"]
+            + jnp.einsum("oc,bc->bo", p["w_cur"]["w"].astype(dtype), x.astype(dtype),
+                         preferred_element_type=jnp.float32)
+            + p["w_cur"]["b"]
+            + jnp.einsum("oc,bc->bo", p["w_cond"]["w"].astype(dtype), cond_t.astype(dtype),
+                         preferred_element_type=jnp.float32)
+            + p["w_cond"]["b"]
+        )
+        f, g = jnp.split(y, 2, axis=1)
+        h = jnp.tanh(f) * jax.nn.sigmoid(g)
+        res = (
+            jnp.einsum("oc,bc->bo", p["w_res"]["w"].astype(dtype), h.astype(dtype),
+                       preferred_element_type=jnp.float32)
+            + p["w_res"]["b"]
+        )
+        s = (
+            jnp.einsum("oc,bc->bo", p["w_skip"]["w"].astype(dtype), h.astype(dtype),
+                       preferred_element_type=jnp.float32)
+            + p["w_skip"]["b"]
+        )
+        skip = s if skip is None else skip + s
+        x = x + res
+
+    h = jax.nn.relu(skip)
+    h = jax.nn.relu(
+        jnp.einsum("oc,bc->bo", params["post1"]["w"].astype(dtype), h.astype(dtype),
+                   preferred_element_type=jnp.float32)
+        + params["post1"]["b"]
+    )
+    logits = (
+        jnp.einsum("oc,bc->bo", params["post2"]["w"].astype(dtype), h.astype(dtype),
+                   preferred_element_type=jnp.float32)
+        + params["post2"]["b"]
+    )
+    return tuple(new_bufs), logits
+
+
+def _with_gc(params, cfg: WaveNetConfig, cond: jax.Array, gc_ids) -> jax.Array:
+    """Append the (time-constant) speaker embedding to cond channels.
+    cond: [B, n_lc_out, T] -> [B, n_lc_out + n_ge, T]."""
+    b, _, t = cond.shape
+    if gc_ids is None:
+        g = jnp.zeros((b, cfg.n_global_embed), cond.dtype)
+    else:
+        g = jnp.take(params["gc_embed"], gc_ids, axis=0)
+    g = jnp.broadcast_to(g[:, :, None], (b, cfg.n_global_embed, t))
+    return jnp.concatenate([cond, g.astype(cond.dtype)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype", "return_logits"))
+def prime(params, cfg: WaveNetConfig, state: GenState, ids: jax.Array,
+          cond: jax.Array, gc_ids=None, dtype=jnp.float32,
+          return_logits: bool = False):
+    """Warm the queues with known samples (teacher context).
+
+    ids: [B, T0] real samples at positions [t, t+T0).  The first T0-1 are
+    consumed through the stack (their logits discarded); the LAST one is
+    left as ``prev_id`` so the next :func:`generate` step consumes it —
+    emitting the sample at position t+T0.  cond: [B, n_lc_out, >= T0-1]
+    columns for the consumed positions.
+    """
+    t0 = ids.shape[-1]
+    cond = _with_gc(params, cfg, cond[..., : t0 - 1], gc_ids)
+    cond_tm = jnp.transpose(cond, (2, 0, 1))  # time-major [T0-1, B, C]
+
+    def body(st, xs):
+        x_id, c = xs
+        bufs, logits = _cell(params, cfg, st, x_id, c, dtype)
+        return GenState(bufs, x_id, st.t + 1), (logits if return_logits else None)
+
+    ids_tm = jnp.transpose(ids[..., : t0 - 1], (1, 0))
+    out, ys = jax.lax.scan(body, state, (ids_tm, cond_tm))
+    out = GenState(out.bufs, ids[..., -1], out.t)
+    if return_logits:
+        return out, jnp.transpose(ys, (1, 2, 0))  # [B, n_quant, T0-1]
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_steps", "dtype", "temperature")
+)
+def generate(params, cfg: WaveNetConfig, state: GenState, cond: jax.Array,
+             rng: jax.Array, gc_ids=None, n_steps: int | None = None,
+             temperature: float = 1.0, dtype=jnp.float32):
+    """Sample ``n_steps`` (default cond length) mu-law ids autoregressively.
+
+    cond: [B, n_lc_out, T] — column p conditions the step that consumes the
+    sample at position p (same lattice as training).  Returns (ids [B, T],
+    final state)."""
+    t_len = cond.shape[-1] if n_steps is None else n_steps
+    cond = _with_gc(params, cfg, cond[..., :t_len], gc_ids)
+    cond_tm = jnp.transpose(cond, (2, 0, 1))
+
+    def body(carry, c):
+        st, key = carry
+        key, sub = jax.random.split(key)
+        bufs, logits = _cell(params, cfg, st, st.prev_id, c, dtype)
+        if temperature == 0.0:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
+            nxt = nxt.astype(jnp.int32)
+        return (GenState(bufs, nxt, st.t + 1), key), nxt
+
+    (final, _), ids_tm = jax.lax.scan(body, (state, rng), cond_tm)
+    return jnp.transpose(ids_tm, (1, 0)), final
+
+
+# --------------------------------------------------------------- naive oracle
+
+def generate_naive(params, cfg: WaveNetConfig, ctx_ids: jax.Array,
+                   cond: jax.Array, rng: jax.Array, gc_ids=None,
+                   n_steps: int = 16, temperature: float = 1.0):
+    """Reference-style O(R)/sample sampler (SURVEY.md §3.4): re-runs the full
+    teacher-forcing stack per emitted sample.  Test oracle only.
+
+    ctx_ids: [B, rf+1] the last rf+1 consumed samples (positions t-rf-1..t-1
+    inclusive of the sample about to be consumed at the front... precisely:
+    window of AR inputs such that apply() emits exactly 1 logit column).
+    cond: [B, n_lc_out, rf+1+n_steps] columns aligned with the consumed
+    inputs (same lattice as training)."""
+    from ae_wavenet_tpu.models import wavenet as wn
+
+    rf = wn.receptive_field(cfg)
+    assert ctx_ids.shape[-1] == rf + 1
+    ids = ctx_ids
+    out = []
+    for j in range(n_steps):
+        window_cond = cond[..., j : j + rf + 1]
+        logits = wn.apply(params, cfg, ids[..., -(rf + 1):], window_cond, gc_ids)
+        rng, sub = jax.random.split(rng)
+        if temperature == 0.0:
+            nxt = jnp.argmax(logits[..., -1], axis=1).astype(jnp.int32)
+        else:
+            nxt = jax.random.categorical(sub, logits[..., -1] / temperature, axis=1)
+            nxt = nxt.astype(jnp.int32)
+        out.append(nxt)
+        ids = jnp.concatenate([ids, nxt[:, None]], axis=-1)
+    return jnp.stack(out, axis=1)

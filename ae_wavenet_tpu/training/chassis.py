@@ -55,16 +55,18 @@ def make_optimizer(cfg: RunConfig) -> optax.GradientTransformation:
     return optax.chain(*tx)
 
 
-def make_train_step(cfg: RunConfig, spec: ae.WindowSpec, optimizer, base_key, mesh=None):
+def make_train_step(cfg: RunConfig, spec: ae.WindowSpec, optimizer, base_key,
+                    mesh=None, loss_fn=None):
     """Build the single compiled train step.
 
     (params, opt_state, bn_state, wav_i16, spk, step) ->
     (params, opt_state, bn_state, metrics)
     """
+    loss_fn = ae.loss_fn if loss_fn is None else loss_fn
 
     def step_fn(params, opt_state, bn_state, wav, spk, step):
         rng = jax.random.fold_in(base_key, step)
-        grad_fn = jax.value_and_grad(ae.loss_fn, has_aux=True)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_bn_state, metrics)), grads = grad_fn(
             params, bn_state, cfg, spec, wav, spk, rng, step
         )
@@ -101,7 +103,9 @@ class Chassis:
         self.ckpt_dir = ckpt_dir
         self.mesh = mesh
         self.log_stream = log_stream if log_stream is not None else sys.stdout
-        self.spec = ae.make_window_spec(cfg)
+        from ae_wavenet_tpu.models import registry
+        self.model = registry.get(cfg.model_kind)
+        self.spec = self.model.make_window_spec(cfg)
         self.dataset = PackedDataset(data_prefix)
         if self.dataset.n_speakers > cfg.wavenet.n_speakers:
             raise ValueError(
@@ -115,10 +119,12 @@ class Chassis:
         )
         self.optimizer = make_optimizer(cfg)
         base_key = jax.random.PRNGKey(cfg.train.seed)
-        self.step_fn = make_train_step(cfg, self.spec, self.optimizer, base_key, mesh)
+        self.step_fn = make_train_step(
+            cfg, self.spec, self.optimizer, base_key, mesh, self.model.loss_fn
+        )
         self.step = 0
         init_key = jax.random.PRNGKey(cfg.train.seed + 1)
-        self.params, self.bn_state = ae.init(init_key, cfg)
+        self.params, self.bn_state = self.model.init(init_key, cfg)
         self.opt_state = self.optimizer.init(self.params)
         if mesh is not None:
             repl = mesh_mod.replicated(mesh)

@@ -1,0 +1,98 @@
+"""Benchmark: train throughput (audio samples/sec/chip) on the flagship
+Chorowski config (MFCC frontend + VQ-EMA bottleneck + speaker-conditioned
+WaveNet, bfloat16 matmuls).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline provenance (see BASELINE.md): the reference (hrbigelow/ae-wavenet)
+publishes no numbers and its mount is empty, so the baseline is an equivalent
+PyTorch CPU implementation of the same model/step measured on this machine
+via scripts/torch_baseline.py; the stored constant below is its measured
+samples/sec.  The north-star target is >= 10x.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+# Measured by scripts/torch_baseline.py on this machine (torch 2.13 CPU,
+# single vCPU — nproc=1 — 109.7 s/step at batch 16 x 1600 samples; identical
+# architecture/batch/window, frontend cost excluded in the baseline's favor;
+# see BASELINE.md "local baseline").
+REFERENCE_SAMPLES_PER_SEC = 233.5
+_FALLBACK_BASELINE = 1.0
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from ae_wavenet_tpu.data.dataset import PackedDataset, WindowSampler
+    from ae_wavenet_tpu.data.preprocess import make_synthetic_dataset
+    from ae_wavenet_tpu.models import autoencoder as ae
+    from ae_wavenet_tpu.training.chassis import make_optimizer, make_train_step
+    from ae_wavenet_tpu.utils.config import BottleneckConfig, RunConfig, TrainConfig
+
+    batch_sz = int(os.environ.get("BENCH_BATCH", "16"))
+    n_win = int(os.environ.get("BENCH_NWIN", "1600"))
+    warmup = 3
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+
+    cfg = RunConfig(
+        bottleneck=BottleneckConfig(kind="vq"),
+        train=TrainConfig(batch_sz=batch_sz, n_win=n_win),
+    )
+    spec = ae.make_window_spec(cfg)
+
+    with tempfile.TemporaryDirectory() as td:
+        prefix = os.path.join(td, "synth")
+        make_synthetic_dataset(prefix, n_clips=8, n_speakers=4,
+                               clip_len=(spec.u_len + 1000, spec.u_len + 30000))
+        ds = PackedDataset(prefix)
+        sampler = WindowSampler(ds, spec.u_len, batch_sz, seed=0)
+
+        params, bn_state = ae.init(jax.random.PRNGKey(0), cfg)
+        optimizer = make_optimizer(cfg)
+        opt_state = optimizer.init(params)
+        step_fn = make_train_step(cfg, spec, optimizer, jax.random.PRNGKey(1))
+
+        batches = [sampler.batch_at(s) for s in range(4)]
+        batches = [(jax.device_put(w), jax.device_put(k)) for w, k in batches]
+
+        for s in range(warmup):
+            w, k = batches[s % len(batches)]
+            params, opt_state, bn_state, m = step_fn(
+                params, opt_state, bn_state, w, k, jnp.int32(s)
+            )
+        jax.block_until_ready(m)
+
+        t0 = time.perf_counter()
+        for s in range(iters):
+            w, k = batches[s % len(batches)]
+            params, opt_state, bn_state, m = step_fn(
+                params, opt_state, bn_state, w, k, jnp.int32(warmup + s)
+            )
+        jax.block_until_ready(m)
+        dt = time.perf_counter() - t0
+
+    samples_per_sec = batch_sz * n_win * iters / dt
+    n_chips = max(len(jax.devices()), 1)
+    value = samples_per_sec / n_chips
+    baseline = REFERENCE_SAMPLES_PER_SEC or _FALLBACK_BASELINE
+    print(json.dumps({
+        "metric": "train_audio_samples_per_sec_per_chip",
+        "value": round(value, 1),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
