@@ -106,20 +106,27 @@ def _apply_vq(state, cfg: BottleneckConfig, z, rng, train):
     b, d, t = z.shape
     e = state["codebook"]  # [K, D]
     zf = jnp.reshape(jnp.transpose(z, (0, 2, 1)), (b * t, d))
-    # squared distances via MXU-friendly contraction
-    d2 = (
-        jnp.sum(jnp.square(zf), axis=1, keepdims=True)
-        - 2.0 * (zf @ e.T)
-        + jnp.sum(jnp.square(e), axis=1)[None, :]
-    )  # [N, K]
-    idx = jnp.argmin(d2, axis=1)  # [N]
-    onehot = jax.nn.one_hot(idx, cfg.vq_k, dtype=jnp.float32)  # [N, K]
-    q = onehot @ e  # [N, D]
+    if cfg.vq_use_pallas:
+        from ae_wavenet_tpu.ops.vq_pallas import vq_lookup_fused
 
-    # EMA codebook statistics over the GLOBAL batch (sharded-N contraction
-    # compiles to a psum over the data axis under pjit).
-    counts = jnp.sum(onehot, axis=0)  # [K]
-    sums = onehot.T @ jax.lax.stop_gradient(zf)  # [K, D]
+        idx, q, counts, sums = vq_lookup_fused(
+            jax.lax.stop_gradient(zf), e, tile_n=min(512, max(8, b * t))
+        )
+    else:
+        # squared distances via MXU-friendly contraction
+        d2 = (
+            jnp.sum(jnp.square(zf), axis=1, keepdims=True)
+            - 2.0 * (zf @ e.T)
+            + jnp.sum(jnp.square(e), axis=1)[None, :]
+        )  # [N, K]
+        idx = jnp.argmin(d2, axis=1)  # [N]
+        onehot = jax.nn.one_hot(idx, cfg.vq_k, dtype=jnp.float32)  # [N, K]
+        q = onehot @ e  # [N, D]
+
+        # EMA codebook statistics over the GLOBAL batch (sharded-N
+        # contraction compiles to a psum over the data axis under pjit).
+        counts = jnp.sum(onehot, axis=0)  # [K]
+        sums = onehot.T @ jax.lax.stop_gradient(zf)  # [K, D]
     decay = cfg.ema_decay
     new_counts = decay * state["ema_counts"] + (1.0 - decay) * counts
     new_sums = decay * state["ema_sums"] + (1.0 - decay) * sums

@@ -48,58 +48,75 @@ def init_state(cfg: WaveNetConfig, batch: int, fill_id: int = 128) -> GenState:
     )
 
 
-def _cell(params, cfg: WaveNetConfig, state: GenState, x_id: jax.Array,
+def pack_params(params, cfg: WaveNetConfig, dtype=jnp.float32):
+    """Pack the per-layer matmuls into two fused GEMMs per layer.
+
+    MXU-first restructuring: the five small contractions of a gated layer
+    become
+        y      = [x_prev | x_cur | cond_t] @ W_in^T  + b_in     (one GEMM)
+        [r|s]  = h @ W_out^T + b_out                            (one GEMM)
+    which removes most per-op issue overhead in the sequential AR cell.
+    Weights are pre-cast to the compute dtype once, outside the scan.
+    """
+    n_cond = cfg.n_lc_out + cfg.n_global_embed
+    w_in, b_in, w_out, b_out = [], [], [], []
+    for p in params["layers"]:
+        w_in.append(jnp.concatenate(
+            [p["w_prev"]["w"], p["w_cur"]["w"], p["w_cond"]["w"]], axis=1
+        ).astype(dtype))  # [2*n_dil, 2*n_res + n_cond]
+        b_in.append(p["w_prev"]["b"] + p["w_cur"]["b"] + p["w_cond"]["b"])
+        w_out.append(jnp.concatenate(
+            [p["w_res"]["w"], p["w_skip"]["w"]], axis=0
+        ).astype(dtype))  # [n_res + n_skp, n_dil]
+        b_out.append(jnp.concatenate([p["w_res"]["b"], p["w_skip"]["b"]]))
+    packed = {
+        # embed stays f32: the residual stream accumulates in f32 and the
+        # ring buffers store it (casts happen at each GEMM input)
+        "embed": params["embed"],
+        "w_in": tuple(w_in), "b_in": tuple(b_in),
+        "w_out": tuple(w_out), "b_out": tuple(b_out),
+        "post1_w": params["post1"]["w"].astype(dtype),
+        "post1_b": params["post1"]["b"],
+        "post2_w": params["post2"]["w"].astype(dtype),
+        "post2_b": params["post2"]["b"],
+    }
+    del n_cond
+    return packed
+
+
+def _cell(packed, cfg: WaveNetConfig, state: GenState, x_id: jax.Array,
           cond_t: jax.Array, dtype):
     """One AR step: consume sample id x_id [B] + cond column [B, n_cond]
     -> (new_state_bufs, logits [B, n_quant])."""
-    x = jnp.take(params["embed"], x_id, axis=0)  # [B, n_res]
+    x = jnp.take(packed["embed"], x_id, axis=0)  # [B, n_res]
+    cond_t = cond_t.astype(dtype)
     skip = None
     new_bufs = []
     for i, d in enumerate(cfg.dilations):
-        p = params["layers"][i]
         buf = state.bufs[i]
         ptr = jnp.mod(state.t, d)
         x_prev = jax.lax.dynamic_index_in_dim(buf, ptr, axis=2, keepdims=False)
         new_bufs.append(
             jax.lax.dynamic_update_index_in_dim(buf, x, ptr, axis=2)
         )
-        y = (
-            jnp.einsum("oc,bc->bo", p["w_prev"]["w"].astype(dtype), x_prev.astype(dtype),
-                       preferred_element_type=jnp.float32)
-            + p["w_prev"]["b"]
-            + jnp.einsum("oc,bc->bo", p["w_cur"]["w"].astype(dtype), x.astype(dtype),
-                         preferred_element_type=jnp.float32)
-            + p["w_cur"]["b"]
-            + jnp.einsum("oc,bc->bo", p["w_cond"]["w"].astype(dtype), cond_t.astype(dtype),
-                         preferred_element_type=jnp.float32)
-            + p["w_cond"]["b"]
-        )
+        xin = jnp.concatenate([x_prev.astype(dtype), x.astype(dtype), cond_t], axis=1)
+        y = jnp.einsum("oc,bc->bo", packed["w_in"][i], xin,
+                       preferred_element_type=jnp.float32) + packed["b_in"][i]
         f, g = jnp.split(y, 2, axis=1)
-        h = jnp.tanh(f) * jax.nn.sigmoid(g)
-        res = (
-            jnp.einsum("oc,bc->bo", p["w_res"]["w"].astype(dtype), h.astype(dtype),
-                       preferred_element_type=jnp.float32)
-            + p["w_res"]["b"]
-        )
-        s = (
-            jnp.einsum("oc,bc->bo", p["w_skip"]["w"].astype(dtype), h.astype(dtype),
-                       preferred_element_type=jnp.float32)
-            + p["w_skip"]["b"]
-        )
+        h = (jnp.tanh(f) * jax.nn.sigmoid(g)).astype(dtype)
+        rs = jnp.einsum("oc,bc->bo", packed["w_out"][i], h,
+                        preferred_element_type=jnp.float32) + packed["b_out"][i]
+        res, s = rs[:, : cfg.n_res], rs[:, cfg.n_res :]
         skip = s if skip is None else skip + s
-        x = x + res
+        x = x + res  # f32 residual stream
 
-    h = jax.nn.relu(skip)
+    h = jax.nn.relu(skip).astype(dtype)
     h = jax.nn.relu(
-        jnp.einsum("oc,bc->bo", params["post1"]["w"].astype(dtype), h.astype(dtype),
-                   preferred_element_type=jnp.float32)
-        + params["post1"]["b"]
-    )
-    logits = (
-        jnp.einsum("oc,bc->bo", params["post2"]["w"].astype(dtype), h.astype(dtype),
-                   preferred_element_type=jnp.float32)
-        + params["post2"]["b"]
-    )
+        jnp.einsum("oc,bc->bo", packed["post1_w"], h,
+                   preferred_element_type=jnp.float32) + packed["post1_b"]
+    ).astype(dtype)
+    logits = jnp.einsum("oc,bc->bo", packed["post2_w"], h,
+                        preferred_element_type=jnp.float32) + packed["post2_b"]
     return tuple(new_bufs), logits
 
 
@@ -130,10 +147,11 @@ def prime(params, cfg: WaveNetConfig, state: GenState, ids: jax.Array,
     t0 = ids.shape[-1]
     cond = _with_gc(params, cfg, cond[..., : t0 - 1], gc_ids)
     cond_tm = jnp.transpose(cond, (2, 0, 1))  # time-major [T0-1, B, C]
+    packed = pack_params(params, cfg, dtype)
 
     def body(st, xs):
         x_id, c = xs
-        bufs, logits = _cell(params, cfg, st, x_id, c, dtype)
+        bufs, logits = _cell(packed, cfg, st, x_id, c, dtype)
         return GenState(bufs, x_id, st.t + 1), (logits if return_logits else None)
 
     ids_tm = jnp.transpose(ids[..., : t0 - 1], (1, 0))
@@ -158,11 +176,12 @@ def generate(params, cfg: WaveNetConfig, state: GenState, cond: jax.Array,
     t_len = cond.shape[-1] if n_steps is None else n_steps
     cond = _with_gc(params, cfg, cond[..., :t_len], gc_ids)
     cond_tm = jnp.transpose(cond, (2, 0, 1))
+    packed = pack_params(params, cfg, dtype)
 
     def body(carry, c):
         st, key = carry
         key, sub = jax.random.split(key)
-        bufs, logits = _cell(params, cfg, st, st.prev_id, c, dtype)
+        bufs, logits = _cell(packed, cfg, st, st.prev_id, c, dtype)
         if temperature == 0.0:
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         else:

@@ -43,6 +43,7 @@ class BottleneckConfig:
     ema_decay: float = 0.99
     ema_eps: float = 1e-5     # Laplace smoothing of EMA counts
     jitter_p: float = 0.12    # temporal jitter regularizer (train only)
+    vq_use_pallas: bool = False  # fused device kernel (ops/vq_pallas.py)
     # --- vae ---
     free_nats: float = 0.0    # per-dim KL floor (free bits)
     kl_anneal_steps: int = 0  # linear KL-weight ramp; 0 = constant 1.0
