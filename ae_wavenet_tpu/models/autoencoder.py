@@ -222,7 +222,9 @@ def reconstruct(
     ctx = ids[..., c_off : c_off + rf + 1]
     state = fastgen.init_state(cfg.wavenet, wav_i16.shape[0])
     state = fastgen.prime(params["wavenet"], cfg.wavenet, state, ctx, cond, spk)
-    out, _ = fastgen.generate(
+    from ae_wavenet_tpu.ops.fastgen_pallas import generate_auto
+
+    out, _ = generate_auto(
         params["wavenet"], cfg.wavenet, state, cond[..., rf : rf + n],
         rng_g, gc_ids=spk, temperature=temperature,
     )

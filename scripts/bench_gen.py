@@ -58,6 +58,7 @@ def main() -> int:
 
     sps = t_gen / dt  # sequential samples/sec per stream
     print(json.dumps({
+        "path": "xla_scan",
         "platform": jax.devices()[0].platform,
         "batch": batch,
         "dtype": str(dtype.__name__),
@@ -67,7 +68,32 @@ def main() -> int:
         "rtf_16k": round(sps / 16000.0, 3),
         "aggregate_samples_per_sec": round(sps * batch, 1),
         "compile_s": round(compile_s, 1),
-    }))
+    }), flush=True)
+
+    # fused Pallas path (TPU only)
+    from ae_wavenet_tpu.ops import fastgen_pallas as fp
+
+    if jax.devices()[0].platform == "tpu" and fp.supports_fused(cfg, batch):
+        ids, _ = fp.generate_auto(params, cfg, state, cond,
+                                  jax.random.PRNGKey(3), gc_ids=spk)
+        jax.block_until_ready(ids)
+        dt = 1e30
+        for r in range(3):
+            t0 = time.perf_counter()
+            ids, _ = fp.generate_auto(params, cfg, state, cond,
+                                      jax.random.PRNGKey(4 + r), gc_ids=spk)
+            jax.block_until_ready(ids)
+            dt = min(dt, time.perf_counter() - t0)
+        sps = t_gen / dt
+        print(json.dumps({
+            "path": "pallas_fused",
+            "batch": batch,
+            "gen_steps": t_gen,
+            "wall_s": round(dt, 3),
+            "samples_per_sec_per_stream": round(sps, 1),
+            "rtf_16k": round(sps / 16000.0, 3),
+            "aggregate_samples_per_sec": round(sps * batch, 1),
+        }), flush=True)
     return 0
 
 

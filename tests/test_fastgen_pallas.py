@@ -1,0 +1,89 @@
+"""Fused Pallas sampling cell vs the lax.scan reference (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ae_wavenet_tpu.models import wavenet
+from ae_wavenet_tpu.ops import fastgen, fastgen_pallas as fp
+from ae_wavenet_tpu.utils.config import WaveNetConfig
+
+CFG = WaveNetConfig(
+    n_blocks=2, n_block_layers=3, n_res=16, n_dil=16, n_skp=16, n_post=16,
+    n_lc_in=8, n_lc_out=12, n_speakers=5, n_global_embed=4,
+)
+RF = sum(CFG.dilations)
+
+
+def _setup(seed=0, batch=2, n=24):
+    params = wavenet.init(jax.random.PRNGKey(seed), CFG)
+    rng = np.random.default_rng(seed)
+    t_in = RF + 1 + n
+    ids = jnp.asarray(rng.integers(0, 256, (batch, t_in)), jnp.int32)
+    cond = jnp.asarray(rng.normal(size=(batch, CFG.n_lc_out, t_in)) * 0.3,
+                       jnp.float32)
+    spk = jnp.asarray(rng.integers(0, 5, (batch,)), jnp.int32)
+    state = fastgen.init_state(CFG, batch)
+    state = fastgen.prime(params, CFG, state, ids[..., : RF + 1], cond, spk)
+    return params, ids, cond, spk, state
+
+
+def test_fused_matches_scan_greedy():
+    n = 24
+    params, ids, cond, spk, state = _setup(n=n)
+    gen_cond = cond[..., RF : RF + n]
+
+    want, _ = fastgen.generate(
+        params, CFG, state, gen_cond, jax.random.PRNGKey(0), gc_ids=spk,
+        temperature=0.0, dtype=jnp.bfloat16,
+    )
+
+    packed = fp.pack_for_pallas(params, CFG)
+    flat = fp.state_to_flat(state, CFG)
+    cond_gc = fastgen._with_gc(params, CFG, gen_cond, spk)
+    got, new_flat, last, logits = fp.generate_fused(
+        packed, CFG, flat, state.prev_id, state.t, cond_gc,
+        jnp.int32(0), temperature=0.0, debug_logits=True, interpret=True,
+    )
+    got, want = np.asarray(got), np.asarray(want)
+    assert got.shape == want.shape
+    agree = (got == want).mean()
+    assert agree == 1.0, f"greedy ids agree {agree}\n{got}\n{want}"
+    np.testing.assert_array_equal(np.asarray(last), want[:, -1])
+
+
+def test_fused_state_carry_chunks():
+    """10 + 14 fused steps == 24 fused steps (buffer phase via t0)."""
+    n = 24
+    params, ids, cond, spk, state = _setup(seed=1, n=n)
+    gen_cond = fastgen._with_gc(params, CFG, cond[..., RF : RF + n], spk)
+    packed = fp.pack_for_pallas(params, CFG)
+    flat = fp.state_to_flat(state, CFG)
+
+    whole, _, _ = fp.generate_fused(
+        packed, CFG, flat, state.prev_id, state.t, gen_cond,
+        jnp.int32(0), temperature=0.0, interpret=True,
+    )
+    a, flat2, last2 = fp.generate_fused(
+        packed, CFG, flat, state.prev_id, state.t, gen_cond[..., :10],
+        jnp.int32(0), temperature=0.0, interpret=True,
+    )
+    b, _, _ = fp.generate_fused(
+        packed, CFG, flat2, last2, state.t + 10, gen_cond[..., 10:],
+        jnp.int32(0), temperature=0.0, interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(whole),
+        np.concatenate([np.asarray(a), np.asarray(b)], axis=1),
+    )
+
+
+def test_flat_state_roundtrip():
+    params, ids, cond, spk, state = _setup(seed=2)
+    flat = fp.state_to_flat(state, CFG)
+    back = fp.flat_to_state(flat, state.prev_id, state.t, CFG)
+    for a, b in zip(state.bufs, back.bufs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-2)  # bf16 storage
