@@ -34,7 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     new = sub.add_parser("new", help="start a fresh run")
     _add_runtime_flags(new)
-    new.add_argument("--preset", choices=["tiny", "full"], default="full")
+    new.add_argument(
+        "--preset", default="full",
+        choices=["tiny", "full", "vq", "vae", "chorowski"],
+        help="BASELINE configs: tiny(1) vq(2) vae(3) chorowski(4)",
+    )
     new.add_argument("--model", choices=["autoencoder", "mfcc_inverter"],
                      default="autoencoder")
     new.add_argument("--bottleneck", choices=["ae", "vae", "vq"], default=None)
@@ -67,8 +71,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def config_from_args(a) -> config_mod.RunConfig:
-    cfg = (config_mod.tiny_config() if a.preset == "tiny"
-           else config_mod.RunConfig())
+    cfg = config_mod.PRESETS[a.preset]()
     wn, bn, tr, enc = cfg.wavenet, cfg.bottleneck, cfg.train, cfg.encoder
 
     def over(dc, **kv):

@@ -138,6 +138,42 @@ def from_json(s: str) -> RunConfig:
     )
 
 
+def vq_config(**overrides) -> RunConfig:
+    """BASELINE config 2: VQ-VAE bottleneck, EMA codebook + STE + jitter."""
+    cfg = RunConfig(bottleneck=BottleneckConfig(kind="vq"))
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def vae_config(**overrides) -> RunConfig:
+    """BASELINE config 3: continuous VAE bottleneck with KL annealing."""
+    cfg = RunConfig(
+        bottleneck=BottleneckConfig(kind="vae", free_nats=0.1,
+                                    kl_anneal_steps=20000)
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+def chorowski_config(**overrides) -> RunConfig:
+    """BASELINE config 4: full Chorowski — MFCC frontend + speaker global
+    conditioning + VQ bottleneck at LibriSpeech-100 scale (speaker table
+    sized for train-clean-100's 251 speakers)."""
+    cfg = RunConfig(
+        bottleneck=BottleneckConfig(kind="vq"),
+        wavenet=WaveNetConfig(n_speakers=256),
+        train=TrainConfig(batch_sz=16, n_win=1600),
+    )
+    return dataclasses.replace(cfg, **overrides) if overrides else cfg
+
+
+PRESETS = {
+    "tiny": lambda: tiny_config(),
+    "full": lambda: RunConfig(),
+    "vq": vq_config,
+    "vae": vae_config,
+    "chorowski": chorowski_config,
+}
+
+
 def tiny_config(**overrides) -> RunConfig:
     """BASELINE config 1: tiny plain-AE WaveNet, CPU-runnable (the e2e
     integration fixture)."""
