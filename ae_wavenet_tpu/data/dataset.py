@@ -69,7 +69,7 @@ class WindowSampler:
         rows = rng.choice(self.eligible, size=self.batch_sz, p=self.probs)
         max_off = self.ds.lengths[rows] - self.u_len
         offs = self.ds.offsets[rows] + (rng.random(self.batch_sz) * (max_off + 1)).astype(np.int64)
-        wav = np.empty((self.batch_sz, self.u_len), np.int16)
-        for i, o in enumerate(offs):
-            wav[i] = self.ds.data[o : o + self.u_len]
+        from ae_wavenet_tpu.data import native
+
+        wav = native.gather_windows(self.ds.data, offs, self.u_len)
         return wav, self.ds.speakers[rows]

@@ -39,8 +39,12 @@ def main() -> int:
     from ae_wavenet_tpu.training.chassis import make_optimizer, make_train_step
     from ae_wavenet_tpu.utils.config import BottleneckConfig, RunConfig, TrainConfig
 
-    batch_sz = int(os.environ.get("BENCH_BATCH", "16"))
-    n_win = int(os.environ.get("BENCH_NWIN", "1600"))
+    # defaults from the measured v5e sweep (BASELINE.md): long windows
+    # amortize the 2046-sample receptive-field halo; b16x1600 -> 395k,
+    # b16x8000 -> 516k, b8x16000 -> 542k samples/s/chip (b16x16000 exceeds
+    # the compiler/memory budget)
+    batch_sz = int(os.environ.get("BENCH_BATCH", "8"))
+    n_win = int(os.environ.get("BENCH_NWIN", "16000"))
     warmup = 3
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
