@@ -46,7 +46,13 @@ def init(key: jax.Array, cfg: BottleneckConfig):
         }
         return params, {}
     if cfg.kind == "vq":
-        codebook = jax.random.normal(key, (cfg.vq_k, cfg.n_dim), jnp.float32)
+        # small-scale init: a N(0,1) codebook sits far outside the encoder's
+        # initial output distribution, so one code captures everything and
+        # usage collapses (perplexity ~1) for hundreds of steps; 1/sqrt(D)
+        # keeps codes inside the data cloud from step one
+        codebook = jax.random.normal(
+            key, (cfg.vq_k, cfg.n_dim), jnp.float32
+        ) * (1.0 / jnp.sqrt(cfg.n_dim))
         state = {
             "codebook": codebook,
             "ema_counts": jnp.ones((cfg.vq_k,), jnp.float32),

@@ -21,7 +21,9 @@ from __future__ import annotations
 
 import functools
 import json
+import signal
 import sys
+import threading
 import time
 
 import jax
@@ -163,6 +165,33 @@ class Chassis:
         self.step = step
         return step
 
+    # --------------------------------------------------------------- eval
+    def evaluate(self, n_batches: int = 8, stream_offset: int = 1 << 30) -> dict:
+        """Held-out loss: draws ``n_batches`` from a disjoint region of the
+        sample stream (counter offset) and averages eval-mode (no jitter,
+        deterministic bottleneck) metrics."""
+        if not hasattr(self, "_eval_fn"):
+            base_key = jax.random.PRNGKey(self.cfg.train.seed + 2)
+            cfg, spec, model = self.cfg, self.spec, self.model
+
+            def eval_fn(params, bn_state, wav, spk, step):
+                rng = jax.random.fold_in(base_key, step)
+                _, (_, metrics) = model.loss_fn(
+                    params, bn_state, cfg, spec, wav, spk, rng, step,
+                    train=False,
+                )
+                return metrics
+
+            self._eval_fn = jax.jit(eval_fn)
+        totals: dict = {}
+        for i in range(n_batches):
+            wav, spk = self.sampler.batch_at(stream_offset + self.step + i)
+            m = self._eval_fn(self.params, self.bn_state, jnp.asarray(wav),
+                              jnp.asarray(spk), jnp.int32(self.step))
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v) / n_batches
+        return totals
+
     # -------------------------------------------------------------- train
     def train(self, n_steps: int | None = None) -> list[dict]:
         t_cfg = self.cfg.train
@@ -172,6 +201,17 @@ class Chassis:
         start = self.step
         t0 = time.time()
         samples_done = 0
+
+        # preemption-aware checkpointing (SURVEY.md §5 failure detection):
+        # on SIGTERM/SIGINT finish the in-flight step, save, and return.
+        stop = {"flag": False}
+        old_handlers = {}
+        if self.ckpt_dir and threading.current_thread() is threading.main_thread():
+            def _handler(signum, frame):
+                stop["flag"] = True
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                old_handlers[sig] = signal.signal(sig, _handler)
+
         for s, (wav, spk) in device_batches(
             self.sampler, self.step, n_steps, sharding
         ):
@@ -195,4 +235,12 @@ class Chassis:
                 samples_done = 0
             if self.ckpt_dir and self.step % t_cfg.ckpt_every == 0:
                 self.save()
+            if stop["flag"]:
+                path = self.save()
+                self.log_stream.write(
+                    json.dumps({"preempted_at": self.step, "saved": path}) + "\n"
+                )
+                break
+        for sig, h in old_handlers.items():
+            signal.signal(sig, h)
         return history
