@@ -33,6 +33,7 @@ def device_batches(
     are async, so compute and host->HBM copies overlap.
     """
     q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
 
     def put_fn(x):
         return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
@@ -40,13 +41,32 @@ def device_batches(
     def producer():
         for s in range(start_step, start_step + n_steps):
             wav, spk = sampler.batch_at(s)
-            q.put((s, (put_fn(wav), put_fn(spk))))
+            item = (s, (put_fn(wav), put_fn(spk)))
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+            if stop.is_set():
+                return
         q.put(None)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        # consumer stopped early (preemption/break): unblock the producer so
+        # the process can exit cleanly
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        t.join(timeout=5)

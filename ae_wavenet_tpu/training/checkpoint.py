@@ -30,7 +30,9 @@ def save(ckpt_dir: str, step: int, tree: dict, cfg: config_mod.RunConfig) -> str
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
     os.makedirs(ckpt_dir, exist_ok=True)
     with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, jax.device_get(tree))
+        # force=True makes save idempotent (e.g. a preemption save followed
+        # by the CLI's final save at the same step)
+        ckptr.save(path, jax.device_get(tree), force=True)
     with open(os.path.join(path, "run_config.json"), "w") as f:
         f.write(config_mod.to_json(cfg))
     with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
