@@ -105,6 +105,21 @@ def delta_kernel(wing: int) -> np.ndarray:
     return n / np.sum(n * n)
 
 
+@functools.lru_cache(maxsize=8)
+def _dft_matrices(win_sz: int, n_fft: int):
+    """Real-DFT as two matmuls (XLA's TPU FFT is emulated and slow; the MXU
+    eats a [win, 2*(nfft/2+1)] matmul for breakfast).  Returns [win, bins]
+    cos/sin matrices folded with zero-padding to n_fft."""
+    n_bins = n_fft // 2 + 1
+    t = np.arange(win_sz)[:, None]
+    k = np.arange(n_bins)[None, :]
+    ang = -2.0 * np.pi * t * k / n_fft
+    return (
+        np.cos(ang).astype(np.float32),
+        np.sin(ang).astype(np.float32),
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def mfcc_frames(wav: jax.Array, cfg: SpecConfig) -> jax.Array:
     """wav [..., T] float32 -> MFCC [..., n_mfcc, F] with
@@ -116,8 +131,11 @@ def mfcc_frames(wav: jax.Array, cfg: SpecConfig) -> jax.Array:
     )  # [F, win]
     frames = wav[..., idx]  # [..., F, win]
     window = jnp.asarray(np.hanning(cfg.win_sz + 1)[:-1].astype(np.float32))
-    spec = jnp.fft.rfft(frames * window, n=cfg.n_fft, axis=-1)
-    power = jnp.square(spec.real) + jnp.square(spec.imag)  # [..., F, bins]
+    fw = frames * window
+    cosm, sinm = _dft_matrices(cfg.win_sz, cfg.n_fft)
+    re = fw @ jnp.asarray(cosm)
+    im = fw @ jnp.asarray(sinm)
+    power = jnp.square(re) + jnp.square(im)  # [..., F, bins]
     mel = power @ jnp.asarray(mel_filterbank(cfg)).T  # [..., F, n_mels]
     logmel = jnp.log(jnp.maximum(mel, 1e-10))
     mf = logmel @ jnp.asarray(dct_matrix(cfg.n_mfcc, cfg.n_mels)).T

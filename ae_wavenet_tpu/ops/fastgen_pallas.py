@@ -91,6 +91,44 @@ def pack_for_pallas(params: dict, cfg: WaveNetConfig) -> PallasGenParams:
     )
 
 
+class Int8GenParams(NamedTuple):
+    """Weight-quantized layout: per-output-channel int8 for the streamed
+    layer weights (halves the HBM weight traffic — the throughput bound);
+    embedding/post stay bf16 (VMEM-resident, not streamed)."""
+
+    w_in_q: jax.Array     # [L, XIN_PAD, 2*n_dil] int8
+    w_in_s: jax.Array     # [L, 1, 2*n_dil] f32 per-out-channel scales
+    b_in: jax.Array       # [L, 2*n_dil] f32
+    w_out_q: jax.Array    # [L, n_dil, n_res + n_skp] int8
+    w_out_s: jax.Array    # [L, 1, n_res + n_skp] f32
+    b_out: jax.Array      # [L, n_res + n_skp] f32
+    embed: jax.Array
+    post1_w: jax.Array
+    post1_b: jax.Array
+    post2_w: jax.Array
+    post2_b: jax.Array
+
+
+def quantize_per_out_channel(w: jax.Array):
+    """w [..., in, out] -> (int8 values, [..., 1, out] f32 scales)."""
+    s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 127.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def pack_for_pallas_int8(params: dict, cfg: WaveNetConfig) -> Int8GenParams:
+    p = pack_for_pallas(params, cfg)
+    w_in_q, w_in_s = quantize_per_out_channel(p.w_in.astype(jnp.float32))
+    w_out_q, w_out_s = quantize_per_out_channel(p.w_out.astype(jnp.float32))
+    return Int8GenParams(
+        w_in_q=w_in_q, w_in_s=w_in_s, b_in=p.b_in,
+        w_out_q=w_out_q, w_out_s=w_out_s, b_out=p.b_out,
+        embed=p.embed, post1_w=p.post1_w, post1_b=p.post1_b,
+        post2_w=p.post2_w, post2_b=p.post2_b,
+    )
+
+
 def flat_buffers(cfg: WaveNetConfig):
     """Ring-buffer layout: flat [sum(dilations), B, n_res] bf16 with static
     per-layer offsets.  Layer l's slot at step t is off[l] + (t % d_l)."""
@@ -165,7 +203,8 @@ def generate_auto(params, cfg: WaveNetConfig, state: GenState, cond, rng,
 
 
 def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
-                 temperature: float, debug_logits: bool):
+                 temperature: float, debug_logits: bool,
+                 quantized: bool = False):
     L = len(cfg.dilations)
     n_res, n_dil, n_skp = cfg.n_res, cfg.n_dil, cfg.n_skp
     n_post, n_quant = cfg.n_post, cfg.n_quant
@@ -174,17 +213,16 @@ def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
     offs, total_slots = flat_buffers(cfg)
     dils = cfg.dilations
 
-    def kernel(
-        # scalar-prefetch
-        t0_ref, seed_ref,
-        # inputs
-        w_in_ref, b_in_ref, w_out_ref, b_out_ref, embed_ref,
-        p1w_ref, p1b_ref, p2w_ref, p2b_ref,
-        cond_ref, init_id_ref, bufs_hbm,
-        # outputs
-        ids_ref, bufs_out, last_id_ref, *rest,
-        # scratch (after outputs)
-    ):
+    def kernel(*args):
+        # unpack: 2 scalar-prefetch + inputs (+2 scale inputs if quantized)
+        (t0_ref, seed_ref, w_in_ref, b_in_ref, w_out_ref, b_out_ref) = args[:6]
+        i = 6
+        if quantized:
+            w_in_s_ref, w_out_s_ref = args[6:8]
+            i = 8
+        (embed_ref, p1w_ref, p1b_ref, p2w_ref, p2b_ref,
+         cond_ref, init_id_ref, bufs_hbm) = args[i : i + 8]
+        ids_ref, bufs_out, last_id_ref, *rest = args[i + 8 :]
         if debug_logits:
             logits_out = rest[0]
             (win_scr, wout_scr, xprev_scr, xin_scr, xwr_scr, prev_scr,
@@ -272,14 +310,34 @@ def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
             # write x (this layer's input) back into the slot we just read
             wr_dma(l).start()
 
-            y = jnp.dot(
-                xin_scr[:], win_scr[l % 2], preferred_element_type=jnp.float32
-            ) + b_in_ref[l][None, :]
+            if quantized:
+                # dynamic per-tile activation quantization; weights carry
+                # per-out-channel scales
+                xin_f = xin_scr[:].astype(jnp.float32)
+                sx = jnp.maximum(jnp.max(jnp.abs(xin_f)), 1e-9) * (1.0 / 127.0)
+                xq = jnp.clip(jnp.round(xin_f / sx), -127, 127).astype(jnp.int8)
+                acc = jnp.dot(xq, win_scr[l % 2],
+                              preferred_element_type=jnp.int32)
+                y = acc.astype(jnp.float32) * (sx * w_in_s_ref[l])
+                y = y + b_in_ref[l][None, :]
+            else:
+                y = jnp.dot(
+                    xin_scr[:], win_scr[l % 2],
+                    preferred_element_type=jnp.float32,
+                ) + b_in_ref[l][None, :]
             h = jnp.tanh(y[:, :n_dil]) * jax.nn.sigmoid(y[:, n_dil:])
-            rs = jnp.dot(
-                h.astype(jnp.bfloat16), wout_scr[l % 2],
-                preferred_element_type=jnp.float32,
-            ) + b_out_ref[l][None, :]
+            if quantized:
+                sh = jnp.maximum(jnp.max(jnp.abs(h)), 1e-9) * (1.0 / 127.0)
+                hq = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int8)
+                acc2 = jnp.dot(hq, wout_scr[l % 2],
+                               preferred_element_type=jnp.int32)
+                rs = acc2.astype(jnp.float32) * (sh * w_out_s_ref[l])
+                rs = rs + b_out_ref[l][None, :]
+            else:
+                rs = jnp.dot(
+                    h.astype(jnp.bfloat16), wout_scr[l % 2],
+                    preferred_element_type=jnp.float32,
+                ) + b_out_ref[l][None, :]
             x = x + rs[:, :n_res]
             skip = skip + rs[:, n_res:]
 
@@ -327,7 +385,8 @@ def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "temperature", "debug_logits", "interpret"),
+    static_argnames=("cfg", "temperature", "debug_logits", "interpret",
+                     "quantized"),
 )
 def generate_fused(
     packed: PallasGenParams,
@@ -340,6 +399,7 @@ def generate_fused(
     temperature: float = 1.0,
     debug_logits: bool = False,
     interpret: bool = False,
+    quantized: bool = False,
 ):
     """-> (ids [B, T], new_flat_bufs, last_id [B], logits?).
 
@@ -349,7 +409,7 @@ def generate_fused(
     batch, n_cond, t_len = cond.shape
     L = len(cfg.dilations)
     kernel, xin_pad, total_slots = _make_kernel(
-        cfg, t_len, batch, temperature, debug_logits
+        cfg, t_len, batch, temperature, debug_logits, quantized
     )
     cond_tm = jnp.transpose(cond, (2, 0, 1)).astype(jnp.bfloat16)
 
@@ -373,28 +433,37 @@ def generate_fused(
                          memory_space=pltpu.VMEM)
         )
 
+    w_dtype = jnp.int8 if quantized else jnp.bfloat16
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),   # w_in (HBM, manual DMA)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # b_in
+        pl.BlockSpec(memory_space=pl.ANY),   # w_out
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # b_out
+    ]
+    if quantized:
+        in_specs += [
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_in scales
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_out scales
+        ]
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # embed
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # post1_w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # post1_b
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # post2_w
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # post2_b
+        pl.BlockSpec((1, batch, n_cond), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),  # cond column
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # init ids [B,1]
+        pl.BlockSpec(memory_space=pl.ANY),   # bufs (HBM)
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t_len,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # w_in (HBM, manual DMA)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_in
-            pl.BlockSpec(memory_space=pl.ANY),   # w_out
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_out
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # embed
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # post1_w
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # post1_b
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # post2_w
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # post2_b
-            pl.BlockSpec((1, batch, n_cond), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),  # cond column
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # init ids [B,1]
-            pl.BlockSpec(memory_space=pl.ANY),   # bufs (HBM)
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, xin_pad, 2 * cfg.n_dil), jnp.bfloat16),   # w_in dbl
-            pltpu.VMEM((2, cfg.n_dil, cfg.n_res + cfg.n_skp), jnp.bfloat16),
+            pltpu.VMEM((2, xin_pad, 2 * cfg.n_dil), w_dtype),        # w_in dbl
+            pltpu.VMEM((2, cfg.n_dil, cfg.n_res + cfg.n_skp), w_dtype),
             pltpu.VMEM((L, batch, cfg.n_res), jnp.bfloat16),         # x_prev
             pltpu.VMEM((batch, xin_pad), jnp.bfloat16),              # xin
             pltpu.VMEM((L, batch, cfg.n_res), jnp.bfloat16),         # x write
@@ -405,16 +474,22 @@ def generate_fused(
         ],
     )
 
+    if quantized:
+        weight_args = (packed.w_in_q, packed.b_in, packed.w_out_q,
+                       packed.b_out, packed.w_in_s, packed.w_out_s)
+    else:
+        weight_args = (packed.w_in, packed.b_in, packed.w_out, packed.b_out)
+    bufs_input_index = 2 + len(weight_args) + 7  # scalars + weights + rest
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        input_output_aliases={13: 1},  # bufs input (2 scalars + index 11) -> bufs out
+        input_output_aliases={bufs_input_index: 1},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
         t0.reshape(1), seed.reshape(1),
-        packed.w_in, packed.b_in, packed.w_out, packed.b_out, packed.embed,
+        *weight_args, packed.embed,
         packed.post1_w, packed.post1_b, packed.post2_w, packed.post2_b,
         cond_tm, prev_id.reshape(batch, 1).astype(jnp.int32), flat_bufs,
     )

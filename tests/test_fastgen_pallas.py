@@ -80,6 +80,29 @@ def test_fused_state_carry_chunks():
     )
 
 
+def test_int8_quantized_logits_close():
+    """int8 weight+activation quantized path: logits within a few percent of
+    the bf16 path (good enough for sampling; it's an opt-in speed mode)."""
+    n = 12
+    params, ids, cond, spk, state = _setup(seed=3, n=n)
+    gen_cond = fastgen._with_gc(params, CFG, cond[..., RF : RF + n], spk)
+    flat = fp.state_to_flat(state, CFG)
+
+    _, _, _, logits_bf16 = fp.generate_fused(
+        fp.pack_for_pallas(params, CFG), CFG, flat, state.prev_id, state.t,
+        gen_cond, jnp.int32(0), temperature=0.0, debug_logits=True,
+        interpret=True,
+    )
+    _, _, _, logits_q = fp.generate_fused(
+        fp.pack_for_pallas_int8(params, CFG), CFG, flat, state.prev_id,
+        state.t, gen_cond, jnp.int32(0), temperature=0.0, debug_logits=True,
+        interpret=True, quantized=True,
+    )
+    a, b = np.asarray(logits_bf16[0]), np.asarray(logits_q[0])  # first step
+    scale = np.abs(a).max() + 1e-6
+    assert np.abs(a - b).max() / scale < 0.08, np.abs(a - b).max() / scale
+
+
 def test_flat_state_roundtrip():
     params, ids, cond, spk, state = _setup(seed=2)
     flat = fp.state_to_flat(state, CFG)
