@@ -111,12 +111,17 @@ def init(key: jax.Array, cfg: WaveNetConfig, n_lc_in: int | None = None) -> dict
 # --------------------------------------------------------------------- apply
 
 def _mm(p: dict, x: jax.Array, dtype) -> jax.Array:
-    """1x1 'conv': [B, Cin, T] @ [Cout, Cin] -> [B, Cout, T], f32 accum."""
+    """1x1 'conv': [B, Cin, T] @ [Cout, Cin] -> [B, Cout, T].
+
+    The MXU accumulates in f32 internally regardless; emitting the result in
+    the compute dtype (bf16) halves the HBM traffic of every intermediate —
+    the train step is bandwidth-bound on these [B, C, T] tensors, not
+    FLOP-bound."""
     y = jnp.einsum(
         "oc,bct->bot", p["w"].astype(dtype), x.astype(dtype),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=dtype,
     )
-    return y + p["b"][None, :, None]
+    return y + p["b"][None, :, None].astype(dtype)
 
 
 def upsample_apply(
@@ -167,7 +172,9 @@ def apply(
     t_out = t_in - rf
 
     x = jnp.take(params["embed"], x_ids, axis=0)  # [B, T, n_res]
-    x = jnp.transpose(x, (0, 2, 1)).astype(jnp.float32)
+    # residual stream runs in the compute dtype: the [B, n_res, T] tensor is
+    # read twice per layer, so bf16 halves the dominant HBM traffic
+    x = jnp.transpose(x, (0, 2, 1)).astype(dtype)
 
     if gc_ids is not None:
         g = jnp.take(params["gc_embed"], gc_ids, axis=0)  # [B, n_ge]
