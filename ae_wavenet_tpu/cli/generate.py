@@ -52,46 +52,12 @@ def main(argv=None) -> int:
     spk = ds.speakers[a.clip : a.clip + 1]
     print(f"clip {a.clip}: {wav.shape[-1]} samples, speaker {int(spk[0])}")
 
-    if cfg.model_kind == "autoencoder":
-        from ae_wavenet_tpu.models import autoencoder as ae
-
-        ids, start = ae.reconstruct(
-            params, bn_state, cfg, jnp.asarray(wav), jnp.asarray(spk),
-            jax.random.PRNGKey(a.seed), temperature=a.temperature,
-            n_samples=a.n_samples,
-        )
-    else:
-        from ae_wavenet_tpu.models import mfcc_inverter as mi
-        from ae_wavenet_tpu.models import wavenet as wn_mod
-        from ae_wavenet_tpu.audio import mfcc as mfcc_mod
-        from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_encode
-        from ae_wavenet_tpu.geometry.vconv import Range
-        from ae_wavenet_tpu.ops import fastgen
-
-        chain = mi.cond_chain(cfg)
-        r0 = chain.in_range(Range(0, 1))
-        c_off = (r0.b + r0.e) // 2
-        wavf = int16_to_float(jnp.asarray(wav))
-        frames = mfcc_mod.mfcc_delta_stack(wavf, cfg.spec)
-        mean = jnp.mean(frames, axis=-1, keepdims=True)
-        var = jnp.var(frames, axis=-1, keepdims=True)
-        frames = (frames - mean) * jax.lax.rsqrt(var + 1e-6)
-        up = wn_mod.upsample_geometry(cfg.wavenet)
-        steps = up.plan(Range(0, up.out_len(frames.shape[-1])))
-        cond = wn_mod.upsample_apply(params["wavenet"], cfg.wavenet, frames, steps)
-        rf = wn_mod.receptive_field(cfg.wavenet)
-        idsx = mu_encode(wavf, cfg.wavenet.n_quant)
-        ctx = idsx[..., c_off : c_off + rf + 1]
-        st = fastgen.init_state(cfg.wavenet, 1)
-        st = fastgen.prime(params["wavenet"], cfg.wavenet, st, ctx, cond,
-                           jnp.asarray(spk))
-        n = min(a.n_samples, cond.shape[-1] - rf - 1)
-        ids, _ = fastgen.generate(
-            params["wavenet"], cfg.wavenet, st, cond[..., rf : rf + n],
-            jax.random.PRNGKey(a.seed), gc_ids=jnp.asarray(spk),
-            temperature=a.temperature,
-        )
-        start = c_off + rf + 1
+    # both model families expose the same reconstruct() contract
+    ids, start = model.reconstruct(
+        params, bn_state, cfg, jnp.asarray(wav), jnp.asarray(spk),
+        jax.random.PRNGKey(a.seed), temperature=a.temperature,
+        n_samples=a.n_samples,
+    )
 
     out = np.asarray(mu_decode(ids, cfg.wavenet.n_quant))[0]
     write_wav(a.out, out, cfg.spec.sample_rate)

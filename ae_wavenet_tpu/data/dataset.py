@@ -46,13 +46,21 @@ class WindowSampler:
     ever crossing clip boundaries).
     """
 
-    def __init__(self, ds: PackedDataset, u_len: int, batch_sz: int, seed: int = 0):
+    def __init__(self, ds: PackedDataset, u_len: int, batch_sz: int,
+                 seed: int = 0, clip_indices=None):
+        """clip_indices: optional subset of clip rows to draw from (used for
+        train/holdout splits)."""
         self.ds = ds
         self.u_len = int(u_len)
         self.batch_sz = int(batch_sz)
         self.seed = int(seed)
         valid = ds.lengths - self.u_len + 1
-        self.eligible = np.nonzero(valid > 0)[0]
+        mask = valid > 0
+        if clip_indices is not None:
+            sub = np.zeros(len(ds), bool)
+            sub[np.asarray(clip_indices, np.int64)] = True
+            mask &= sub
+        self.eligible = np.nonzero(mask)[0]
         if len(self.eligible) == 0:
             raise ValueError(
                 f"no clip is >= the window length {u_len}; "
@@ -62,10 +70,14 @@ class WindowSampler:
         self.probs = w / w.sum()
 
     def batch_at(self, step: int) -> tuple[np.ndarray, np.ndarray]:
-        """-> (wav [B, u_len] int16, speaker [B] int32); pure in (seed, step)."""
-        rng = np.random.Generator(
-            np.random.Philox(key=self.seed, counter=np.uint64(step))
-        )
+        """-> (wav [B, u_len] int16, speaker [B] int32); pure in (seed, step).
+
+        NOTE: seeded via SeedSequence([seed, step]), NOT a raw Philox counter
+        — counter=step advances the stream by one 4-double block per step
+        while a batch consumes many blocks, so consecutive steps would share
+        ~75% of their draws (verified empirically; severe duplicate-window
+        bug)."""
+        rng = np.random.default_rng([self.seed, step])
         rows = rng.choice(self.eligible, size=self.batch_sz, p=self.probs)
         max_off = self.ds.lengths[rows] - self.u_len
         offs = self.ds.offsets[rows] + (rng.random(self.batch_sz) * (max_off + 1)).astype(np.int64)

@@ -39,18 +39,21 @@ def device_batches(
         return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
 
     def producer():
-        for s in range(start_step, start_step + n_steps):
-            wav, spk = sampler.batch_at(s)
-            item = (s, (put_fn(wav), put_fn(spk)))
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
-            if stop.is_set():
-                return
-        q.put(None)
+        try:
+            for s in range(start_step, start_step + n_steps):
+                wav, spk = sampler.batch_at(s)
+                item = (s, (put_fn(wav), put_fn(spk)))
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(None)
+        except BaseException as e:  # surface in the consumer, never deadlock
+            q.put(e)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -59,6 +62,8 @@ def device_batches(
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         # consumer stopped early (preemption/break): unblock the producer so

@@ -115,9 +115,14 @@ def make_synthetic_dataset(
     sample_rate: int = 16000,
     seed: int = 0,
 ) -> dict:
-    """Deterministic speech-like fixture: per-speaker fundamental with
-    harmonics, amplitude modulation and noise.  Hermetic stand-in for the
-    10-clip LibriSpeech fixture of BASELINE config 1."""
+    """Deterministic speech-like fixture: random piecewise segments
+    (~0.1-0.25 s) alternating voiced harmonics (random f0/amplitude per
+    segment) and band-filtered noise bursts, with silences.  The segment
+    identities are UNPREDICTABLE from past audio, so the conditioning path
+    genuinely carries information (a purely stationary tone is predictable
+    from AR context alone, which makes any bottleneck collapse optimal and
+    useless as a test fixture).  Hermetic stand-in for the 10-clip
+    LibriSpeech fixture of BASELINE config 1."""
     rng = np.random.default_rng(seed)
     clips = []
     offset = 0
@@ -125,14 +130,37 @@ def make_synthetic_dataset(
         for i in range(n_clips):
             spk = i % n_speakers
             n = int(rng.integers(*clip_len))
-            t = np.arange(n) / sample_rate
-            f0 = 90.0 + 35.0 * spk + 8.0 * np.sin(2 * np.pi * 1.3 * t)
-            phase = 2 * np.pi * np.cumsum(f0) / sample_rate
-            x = sum(
-                (0.5 / k) * np.sin(k * phase) for k in range(1, 5)
-            )
-            am = 0.55 + 0.45 * np.sin(2 * np.pi * (2.0 + 0.5 * spk) * t + rng.uniform(0, 6.28))
-            x = x * am + 0.01 * rng.normal(size=n)
+            x = np.zeros(n)
+            pos = 0
+            f0_base = 90.0 + 30.0 * spk
+            while pos < n:
+                seg = int(rng.integers(sample_rate // 10, sample_rate // 4))
+                seg = min(seg, n - pos)
+                t = np.arange(seg) / sample_rate
+                kind = rng.random()
+                if kind < 0.45:  # voiced: harmonics at a random f0
+                    f0 = f0_base * rng.uniform(0.7, 2.2)
+                    ph = rng.uniform(0, 2 * np.pi)
+                    amps = rng.uniform(0.1, 1.0, size=4) / np.arange(1, 5)
+                    s = sum(a * np.sin(2 * np.pi * f0 * k * t + ph * k)
+                            for k, a in zip(range(1, 5), amps))
+                    s *= rng.uniform(0.3, 1.0)
+                elif kind < 0.8:  # unvoiced: band-passed noise burst
+                    w = rng.normal(size=seg)
+                    fc = rng.uniform(500, 6000)
+                    bw = rng.uniform(300, 1500)
+                    spec = np.fft.rfft(w)
+                    f = np.fft.rfftfreq(seg, 1 / sample_rate)
+                    spec *= np.exp(-0.5 * ((f - fc) / bw) ** 2)
+                    s = np.fft.irfft(spec, seg)
+                    s *= rng.uniform(0.2, 0.7) / (np.std(s) + 1e-9)
+                else:  # silence-ish
+                    s = 0.01 * rng.normal(size=seg)
+                # short fade at the segment edges to avoid clicks
+                env = np.minimum(1.0, np.minimum(np.arange(seg), seg - 1 - np.arange(seg)) / 80.0)
+                x[pos : pos + seg] = s * env
+                pos += seg
+            x += 0.005 * rng.normal(size=n)
             x16 = np.clip(np.rint(x / np.max(np.abs(x)) * 12000), -32768, 32767).astype("<i2")
             dat.write(x16.tobytes())
             clips.append({"offset": offset, "length": n, "speaker": spk})

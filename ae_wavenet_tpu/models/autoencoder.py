@@ -38,23 +38,9 @@ from ae_wavenet_tpu.models import bottlenecks, encoder, wavenet
 from ae_wavenet_tpu.utils.config import RunConfig
 
 
-@dataclasses.dataclass(frozen=True)
-class WindowSpec:
-    """Static window layout (all ints; see module docstring)."""
-
-    u_len: int                      # loader window length (wav samples)
-    fb: int                         # frontend input = U[fb:fe] (fb is
-    fe: int                         #   hop-aligned so frame lattices match)
-    w0: int                         # decoder AR input start = U[w0 : w0+t_in]
-    t_in: int                       # decoder input length
-    rf: int                         # decoder receptive field (left context)
-    n_win: int                      # loss samples per window
-    n_frames: int                   # MFCC stack frames fed to the encoder
-    up_steps: Tuple[PlanStep, ...]  # upsample-chain trims
-
-    @property
-    def tgt_b(self) -> int:
-        return self.w0 + 1 + self.rf
+from ae_wavenet_tpu.models.common import (  # noqa: E402  (re-exported API)
+    WindowSpec, make_window_spec as _make_window_spec, normalize_frames,
+)
 
 
 def cond_chain(cfg: RunConfig) -> Chain:
@@ -67,45 +53,7 @@ def cond_chain(cfg: RunConfig) -> Chain:
 
 
 def make_window_spec(cfg: RunConfig, n_win: int | None = None) -> WindowSpec:
-    n_win = cfg.train.n_win if n_win is None else n_win
-    rf = wavenet.receptive_field(cfg.wavenet)
-    t_in = n_win + rf
-    chain = cond_chain(cfg)
-    num, den = chain.total_stride()
-    if (num, den) != (1, 1):
-        raise ValueError(
-            f"cond chain resamples by {num}/{den}; upsample strides must "
-            f"invert hop_sz*down_stride exactly"
-        )
-    # wav window needed to produce cond[0 : t_in]
-    steps = chain.plan(Range(0, t_in))
-    f_in = steps[0].in_want
-    if f_in.b < 0:
-        raise ValueError(f"cond chain plan reaches before window start: {f_in}")
-    assert f_in.b % cfg.spec.hop_sz == 0  # plan guarantees stride alignment
-    # centering: cond[0]'s receptive field center in wav coords
-    r0 = chain.in_range(Range(0, 1))
-    c_off = (r0.b + r0.e) // 2
-    # window must cover the frontend input and targets up to c_off + t_in + 1
-    u_len = max(f_in.e, c_off + t_in + 1)
-
-    n_front = len(cfg.spec.geometry().layers)
-    front_out = steps[n_front - 1].out_want
-    enc_in = steps[n_front].in_want
-    assert front_out.as_tuple() == enc_in.as_tuple()
-    n_up = len(cfg.wavenet.lc_upsample_strides)
-    up_steps = steps[len(steps) - n_up :]
-    return WindowSpec(
-        u_len=u_len,
-        fb=f_in.b,
-        fe=f_in.e,
-        w0=c_off,
-        t_in=t_in,
-        rf=rf,
-        n_win=n_win,
-        n_frames=len(enc_in),
-        up_steps=tuple(up_steps),
-    )
+    return _make_window_spec(cfg, cond_chain(cfg), n_win, "autoencoder")
 
 
 def init(key: jax.Array, cfg: RunConfig):
@@ -137,10 +85,7 @@ def forward(
     # --- fused on-device frontend (frame lattice matches the plan because
     # fb is hop-aligned; the stack output is exactly the encoder's input)
     frames = mfcc_mod.mfcc_delta_stack(wav[..., spec.fb : spec.fe], cfg.spec)
-    # per-utterance (per-window) mean/var normalization of the MFCC stack
-    mean = jnp.mean(frames, axis=-1, keepdims=True)
-    var = jnp.var(frames, axis=-1, keepdims=True)
-    frames = (frames - mean) * jax.lax.rsqrt(var + 1e-6)
+    frames = normalize_frames(frames)
 
     # --- encoder + bottleneck
     z = encoder.apply(params["encoder"], cfg.encoder, frames, dtype=dtype)
@@ -180,9 +125,10 @@ def encode(
     c_off = (r0.b + r0.e) // 2
     wav = int16_to_float(wav_i16)
     frames = mfcc_mod.mfcc_delta_stack(wav, cfg.spec)
-    mean = jnp.mean(frames, axis=-1, keepdims=True)
-    var = jnp.var(frames, axis=-1, keepdims=True)
-    frames = (frames - mean) * jax.lax.rsqrt(var + 1e-6)
+    # statistics over a train-window-length slice so the conditioning
+    # distribution matches training (see common.normalize_frames)
+    spec = make_window_spec(cfg)
+    frames = normalize_frames(frames, n_ref=spec.n_frames)
     z = encoder.apply(params["encoder"], cfg.encoder, frames)
     zq, _, _ = bottlenecks.apply(
         params["bottleneck"], bn_state, cfg.bottleneck, z, rng,

@@ -139,6 +139,23 @@ def _apply_vq(state, cfg: BottleneckConfig, z, rng, train):
     n = jnp.sum(new_counts)
     smoothed = (new_counts + cfg.ema_eps) / (n + cfg.vq_k * cfg.ema_eps) * n
     new_codebook = new_sums / smoothed[:, None]
+
+    if cfg.vq_restart_thresh > 0.0:
+        # dead-code random restarts (SoundStream/Jukebox-style): codes whose
+        # EMA usage decays below the threshold are re-seeded from random
+        # encoder outputs of the current batch — without this, commitment
+        # pressure collapses usage to one code (perplexity -> 1).  Under DP
+        # the gather of replicated indices from the sharded batch yields
+        # identical candidates on every replica.
+        rng_r = jax.random.fold_in(rng, 1)
+        cand = jax.lax.stop_gradient(
+            zf[jax.random.randint(rng_r, (cfg.vq_k,), 0, zf.shape[0])]
+        )
+        dead = new_counts < cfg.vq_restart_thresh
+        new_codebook = jnp.where(dead[:, None], cand, new_codebook)
+        new_sums = jnp.where(dead[:, None], cand, new_sums)
+        new_counts = jnp.where(dead, 1.0, new_counts)
+
     new_state = {
         "codebook": new_codebook if train else state["codebook"],
         "ema_counts": new_counts if train else state["ema_counts"],

@@ -1,0 +1,87 @@
+"""Shared model plumbing: window-spec construction and frame normalization.
+
+One parameterized implementation serves both model families (autoencoder and
+MFCC inverter) so alignment changes cannot silently diverge between them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ae_wavenet_tpu.geometry.vconv import Chain, PlanStep, Range
+from ae_wavenet_tpu.models import wavenet
+from ae_wavenet_tpu.utils.config import RunConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowSpec:
+    """Static window layout; see models/autoencoder.py module docstring."""
+
+    u_len: int                      # loader window length (wav samples)
+    fb: int                         # frontend input = U[fb:fe] (fb is
+    fe: int                         #   hop-aligned so frame lattices match)
+    w0: int                         # decoder AR input start = U[w0 : w0+t_in]
+    t_in: int                       # decoder input length
+    rf: int                         # decoder receptive field (left context)
+    n_win: int                      # loss samples per window
+    n_frames: int                   # frontend frames fed downstream
+    up_steps: Tuple[PlanStep, ...]  # upsample-chain trims
+
+    @property
+    def tgt_b(self) -> int:
+        return self.w0 + 1 + self.rf
+
+
+def make_window_spec(cfg: RunConfig, chain: Chain, n_win: int | None,
+                     what: str) -> WindowSpec:
+    """Build the static window layout for a cond chain ``frontend + ... +
+    upsample`` whose net stride must be 1."""
+    n_win = cfg.train.n_win if n_win is None else n_win
+    rf = wavenet.receptive_field(cfg.wavenet)
+    t_in = n_win + rf
+    num, den = chain.total_stride()
+    if (num, den) != (1, 1):
+        raise ValueError(
+            f"{what} cond chain resamples by {num}/{den}; upsample strides "
+            f"must invert the frontend stride exactly"
+        )
+    steps = chain.plan(Range(0, t_in))
+    f_in = steps[0].in_want
+    if f_in.b < 0:
+        raise ValueError(f"cond chain plan reaches before window start: {f_in}")
+    assert f_in.b % cfg.spec.hop_sz == 0  # plan guarantees stride alignment
+    r0 = chain.in_range(Range(0, 1))
+    c_off = (r0.b + r0.e) // 2
+    u_len = max(f_in.e, c_off + t_in + 1)
+    n_front = len(cfg.spec.geometry().layers)
+    enc_in = steps[n_front].in_want if n_front < len(steps) else steps[-1].out_want
+    n_up = len(cfg.wavenet.lc_upsample_strides)
+    up_steps = steps[len(steps) - n_up:]
+    return WindowSpec(
+        u_len=u_len, fb=f_in.b, fe=f_in.e, w0=c_off, t_in=t_in, rf=rf,
+        n_win=n_win, n_frames=len(enc_in), up_steps=tuple(up_steps),
+    )
+
+
+def normalize_frames(frames: jax.Array, n_ref: int | None = None) -> jax.Array:
+    """Per-(window|utterance) mean/var normalization of the MFCC stack.
+
+    Training normalizes over the window's frames.  Generation processes
+    whole utterances, which would see different statistics than training
+    did; passing ``n_ref`` (the training window's frame count) computes the
+    statistics over a CENTERED n_ref-frame slice so the conditioning
+    distribution matches training up to signal non-stationarity.
+    """
+    t = frames.shape[-1]
+    if n_ref is not None and t > n_ref:
+        b = (t - n_ref) // 2
+        ref = frames[..., b : b + n_ref]
+    else:
+        ref = frames
+    mean = jnp.mean(ref, axis=-1, keepdims=True)
+    var = jnp.var(ref, axis=-1, keepdims=True)
+    return (frames - mean) * jax.lax.rsqrt(var + 1e-6)

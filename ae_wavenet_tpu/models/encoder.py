@@ -43,6 +43,20 @@ def _conv_init(key, cout, cin, f):
     }
 
 
+def _ln_init(c):
+    return {"g": jnp.ones((c,), jnp.float32), "o": jnp.zeros((c,), jnp.float32)}
+
+
+def _ln(p, x):
+    """Channel LayerNorm at each (batch, time) position: keeps the ReLU
+    stack alive (a plain deep ReLU conv stack under VQ commitment pressure
+    measurably collapses to all-dead units -> constant latents)."""
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.var(x, axis=1, keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+    return xn * p["g"][None, :, None] + p["o"][None, :, None]
+
+
 def init(key: jax.Array, cfg: EncoderConfig) -> dict:
     keys = iter(jax.random.split(key, 64))
     params: dict = {"pre": [], "post": []}
@@ -50,22 +64,29 @@ def init(key: jax.Array, cfg: EncoderConfig) -> dict:
     params["stem"] = _conv_init(next(keys), c, cfg.n_in, 1)
     for _ in range(cfg.n_pre_res):
         params["pre"].append(
-            {"a": _conv_init(next(keys), c, c, 3), "b": _conv_init(next(keys), c, c, 3)}
+            {"a": _conv_init(next(keys), c, c, 3),
+             "b": _conv_init(next(keys), c, c, 3),
+             "ln": _ln_init(c)}
         )
     params["down"] = _conv_init(next(keys), c, c, cfg.down_filter)
+    params["down_ln"] = _ln_init(c)
     for _ in range(cfg.n_post_res):
         params["post"].append(
-            {"a": _conv_init(next(keys), c, c, 3), "b": _conv_init(next(keys), c, c, 3)}
+            {"a": _conv_init(next(keys), c, c, 3),
+             "b": _conv_init(next(keys), c, c, 3),
+             "ln": _ln_init(c)}
         )
     params["head"] = _conv_init(next(keys), cfg.n_out, c, 1)
     return params
 
 
 def _res_pair(p: dict, x: jax.Array, dtype) -> jax.Array:
-    """Two k=3 VALID convs with ReLU, residual added on the trimmed center."""
+    """Two k=3 VALID convs with ReLU, residual added on the trimmed center,
+    channel-LayerNormed."""
     h = jax.nn.relu(conv1d(x.astype(dtype), p["a"]["w"].astype(dtype), p["a"]["b"]))
     h = conv1d(h.astype(dtype), p["b"]["w"].astype(dtype), p["b"]["b"])
-    return jax.nn.relu(x[..., 2:-2] + h)
+    y = jax.nn.relu(x[..., 2:-2] + h)
+    return _ln(p["ln"], y.astype(jnp.float32)).astype(y.dtype)
 
 
 def apply(params: dict, cfg: EncoderConfig, x: jax.Array, *, dtype=jnp.float32) -> jax.Array:
@@ -82,6 +103,7 @@ def apply(params: dict, cfg: EncoderConfig, x: jax.Array, *, dtype=jnp.float32) 
         conv1d(x.astype(dtype), params["down"]["w"].astype(dtype), params["down"]["b"],
                stride=cfg.down_stride)
     )
+    x = _ln(params["down_ln"], x.astype(jnp.float32)).astype(x.dtype)
     for p in params["post"]:
         x = _res_pair(p, x, dtype)
     z = conv1d(x.astype(dtype), params["head"]["w"].astype(dtype), params["head"]["b"])

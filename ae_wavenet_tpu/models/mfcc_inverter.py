@@ -2,8 +2,8 @@
 bottleneck bypassed) — a vocoder baseline.
 
 Rebuild of the reference ``mfcc_inverter.py`` [M] (SURVEY.md §0, §2.1).
-Shares the WaveNet decoder, upsampling, window bookkeeping, and generation
-machinery with the autoencoder; the conditioning chain is just
+Shares the WaveNet decoder, window bookkeeping (models/common.py), and
+generation machinery with the autoencoder; the conditioning chain is just
 frontend + upsampling (which must invert hop_sz alone, e.g. strides
 (5,4,4,2) for hop 160).
 """
@@ -16,8 +16,10 @@ import jax.numpy as jnp
 from ae_wavenet_tpu.audio import mfcc as mfcc_mod
 from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_encode
 from ae_wavenet_tpu.geometry.vconv import Chain, Range
-from ae_wavenet_tpu.models import autoencoder as ae
 from ae_wavenet_tpu.models import wavenet
+from ae_wavenet_tpu.models.common import (
+    WindowSpec, make_window_spec as _make_window_spec, normalize_frames,
+)
 from ae_wavenet_tpu.utils.config import RunConfig
 
 
@@ -25,52 +27,24 @@ def cond_chain(cfg: RunConfig) -> Chain:
     return cfg.spec.geometry() + wavenet.upsample_geometry(cfg.wavenet)
 
 
-def make_window_spec(cfg: RunConfig, n_win: int | None = None) -> ae.WindowSpec:
-    n_win = cfg.train.n_win if n_win is None else n_win
-    rf = wavenet.receptive_field(cfg.wavenet)
-    t_in = n_win + rf
-    chain = cond_chain(cfg)
-    num, den = chain.total_stride()
-    if (num, den) != (1, 1):
-        raise ValueError(
-            f"inverter cond chain resamples by {num}/{den}; upsample strides "
-            f"must invert hop_sz exactly (e.g. (5,4,4,2) for hop 160)"
-        )
-    steps = chain.plan(Range(0, t_in))
-    f_in = steps[0].in_want
-    if f_in.b < 0:
-        raise ValueError(f"cond chain plan reaches before window start: {f_in}")
-    r0 = chain.in_range(Range(0, 1))
-    c_off = (r0.b + r0.e) // 2
-    u_len = max(f_in.e, c_off + t_in + 1)
-    n_front = len(cfg.spec.geometry().layers)
-    enc_in = steps[n_front].in_want if n_front < len(steps) else steps[-1].out_want
-    n_up = len(cfg.wavenet.lc_upsample_strides)
-    up_steps = steps[len(steps) - n_up:]
-    return ae.WindowSpec(
-        u_len=u_len, fb=f_in.b, fe=f_in.e, w0=c_off, t_in=t_in, rf=rf,
-        n_win=n_win, n_frames=len(enc_in), up_steps=tuple(up_steps),
-    )
+def make_window_spec(cfg: RunConfig, n_win: int | None = None) -> WindowSpec:
+    return _make_window_spec(cfg, cond_chain(cfg), n_win, "mfcc_inverter")
 
 
 def init(key: jax.Array, cfg: RunConfig):
     params = {
-        "wavenet": wavenet.init(
-            key, cfg.wavenet, n_lc_in=3 * cfg.spec.n_mfcc
-        )
+        "wavenet": wavenet.init(key, cfg.wavenet, n_lc_in=3 * cfg.spec.n_mfcc)
     }
     return params, {}
 
 
-def forward(params, bn_state, cfg: RunConfig, spec: ae.WindowSpec,
+def forward(params, bn_state, cfg: RunConfig, spec: WindowSpec,
             wav_i16, spk, rng, step, train):
     del bn_state, rng, step, train
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
     wav = int16_to_float(wav_i16)
     frames = mfcc_mod.mfcc_delta_stack(wav[..., spec.fb : spec.fe], cfg.spec)
-    mean = jnp.mean(frames, axis=-1, keepdims=True)
-    var = jnp.var(frames, axis=-1, keepdims=True)
-    frames = (frames - mean) * jax.lax.rsqrt(var + 1e-6)
+    frames = normalize_frames(frames)
     cond = wavenet.upsample_apply(
         params["wavenet"], cfg.wavenet, frames, spec.up_steps, dtype=dtype
     )
@@ -90,3 +64,45 @@ def loss_fn(params, bn_state, cfg, spec, wav_i16, spk, rng, step, train=True):
     recon = jnp.mean(ce)
     metrics = {"loss": recon, "recon_ce": recon}
     return recon, (new_bn_state, metrics)
+
+
+def encode(params: dict, bn_state: dict, cfg: RunConfig, wav_i16: jax.Array,
+           rng: jax.Array):
+    """Full-utterance conditioning (vocoder path): wav -> (cond, c_off)."""
+    del bn_state, rng
+    chain = cond_chain(cfg)
+    r0 = chain.in_range(Range(0, 1))
+    c_off = (r0.b + r0.e) // 2
+    wav = int16_to_float(wav_i16)
+    frames = mfcc_mod.mfcc_delta_stack(wav, cfg.spec)
+    spec = make_window_spec(cfg)
+    frames = normalize_frames(frames, n_ref=spec.n_frames)
+    up = wavenet.upsample_geometry(cfg.wavenet)
+    steps = up.plan(Range(0, up.out_len(frames.shape[-1])))
+    cond = wavenet.upsample_apply(params["wavenet"], cfg.wavenet, frames, steps)
+    return cond, c_off
+
+
+def reconstruct(params, bn_state, cfg: RunConfig, wav_i16, spk, rng,
+                temperature: float = 1.0, n_samples: int | None = None):
+    """Vocode a whole utterance from its own MFCC (same contract as
+    autoencoder.reconstruct)."""
+    from ae_wavenet_tpu.ops import fastgen
+    from ae_wavenet_tpu.ops.fastgen_pallas import generate_auto
+
+    rng_e, rng_g = jax.random.split(rng)
+    cond, c_off = encode(params, bn_state, cfg, wav_i16, rng_e)
+    rf = wavenet.receptive_field(cfg.wavenet)
+    tc = cond.shape[-1]
+    if tc <= rf + 1:
+        raise ValueError(f"utterance too short: {tc} cond frames <= rf+1")
+    n = tc - rf - 1 if n_samples is None else min(n_samples, tc - rf - 1)
+    ids = mu_encode(int16_to_float(wav_i16), cfg.wavenet.n_quant)
+    ctx = ids[..., c_off : c_off + rf + 1]
+    state = fastgen.init_state(cfg.wavenet, wav_i16.shape[0])
+    state = fastgen.prime(params["wavenet"], cfg.wavenet, state, ctx, cond, spk)
+    out, _ = generate_auto(
+        params["wavenet"], cfg.wavenet, state, cond[..., rf : rf + n],
+        rng_g, gc_ids=spk, temperature=temperature,
+    )
+    return out, c_off + rf + 1

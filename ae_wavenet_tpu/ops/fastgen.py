@@ -174,6 +174,11 @@ def generate(params, cfg: WaveNetConfig, state: GenState, cond: jax.Array,
     sample at position p (same lattice as training).  Returns (ids [B, T],
     final state)."""
     t_len = cond.shape[-1] if n_steps is None else n_steps
+    if t_len > cond.shape[-1]:
+        raise ValueError(
+            f"n_steps={t_len} exceeds the {cond.shape[-1]} conditioning "
+            f"columns provided"
+        )
     cond = _with_gc(params, cfg, cond[..., :t_len], gc_ids)
     cond_tm = jnp.transpose(cond, (2, 0, 1))
     packed = pack_params(params, cfg, dtype)

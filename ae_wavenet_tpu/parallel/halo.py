@@ -36,6 +36,11 @@ from ae_wavenet_tpu.ops.conv1d import conv1d
 def halo_left(x: jax.Array, n: int, axis_name: str) -> jax.Array:
     """Return the last ``n`` time columns of the LEFT neighbor's shard
     (zeros on shard 0).  x: [..., T_local]."""
+    if n > x.shape[-1]:
+        raise ValueError(
+            f"halo of {n} exceeds local shard length {x.shape[-1]}; each "
+            f"shard must hold at least (filter_sz-1)*max_dilation samples"
+        )
     size = lax.axis_size(axis_name)
     tail = x[..., -n:]
     perm = [(i, i + 1) for i in range(size - 1)]  # shard i -> i+1

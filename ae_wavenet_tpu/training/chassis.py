@@ -116,8 +116,24 @@ class Chassis:
             )
         if mesh is not None:
             mesh_mod.check_batch_divisible(cfg.train.batch_sz, mesh)
+        # optional clip-level train/holdout split (train.holdout_every=k:
+        # every k-th clip is excluded from training and used for eval)
+        k = cfg.train.holdout_every
+        n_clips = len(self.dataset)
+        if k > 0 and n_clips > 1:
+            all_idx = np.arange(n_clips)
+            hold = all_idx[all_idx % k == 0]
+            train_idx = all_idx[all_idx % k != 0]
+        else:
+            hold, train_idx = None, None
         self.sampler = WindowSampler(
-            self.dataset, self.spec.u_len, cfg.train.batch_sz, cfg.train.seed
+            self.dataset, self.spec.u_len, cfg.train.batch_sz,
+            cfg.train.seed, clip_indices=train_idx,
+        )
+        self.eval_sampler = (
+            WindowSampler(self.dataset, self.spec.u_len, cfg.train.batch_sz,
+                          cfg.train.seed, clip_indices=hold)
+            if hold is not None else None
         )
         self.optimizer = make_optimizer(cfg)
         base_key = jax.random.PRNGKey(cfg.train.seed)
@@ -167,9 +183,13 @@ class Chassis:
 
     # --------------------------------------------------------------- eval
     def evaluate(self, n_batches: int = 8, stream_offset: int = 1 << 30) -> dict:
-        """Held-out loss: draws ``n_batches`` from a disjoint region of the
-        sample stream (counter offset) and averages eval-mode (no jitter,
-        deterministic bottleneck) metrics."""
+        """Eval-mode metrics (no jitter, deterministic bottleneck) averaged
+        over ``n_batches``.
+
+        Data: with ``train.holdout_every`` set, batches come from the
+        HELD-OUT clip split (true generalization metric).  Otherwise they
+        come from the training clips at unseen window offsets — a
+        training-distribution loss, NOT a held-out one."""
         if not hasattr(self, "_eval_fn"):
             base_key = jax.random.PRNGKey(self.cfg.train.seed + 2)
             cfg, spec, model = self.cfg, self.spec, self.model
@@ -184,8 +204,9 @@ class Chassis:
 
             self._eval_fn = jax.jit(eval_fn)
         totals: dict = {}
+        sampler = self.eval_sampler if self.eval_sampler is not None else self.sampler
         for i in range(n_batches):
-            wav, spk = self.sampler.batch_at(stream_offset + self.step + i)
+            wav, spk = sampler.batch_at(stream_offset + self.step + i)
             m = self._eval_fn(self.params, self.bn_state, jnp.asarray(wav),
                               jnp.asarray(spk), jnp.int32(self.step))
             for k, v in m.items():

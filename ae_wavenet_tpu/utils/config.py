@@ -44,6 +44,9 @@ class BottleneckConfig:
     ema_eps: float = 1e-5     # Laplace smoothing of EMA counts
     jitter_p: float = 0.12    # temporal jitter regularizer (train only)
     vq_use_pallas: bool = False  # fused device kernel (ops/vq_pallas.py)
+    vq_restart_thresh: float = 0.2  # EMA-count floor below which a dead code
+                                    # is re-seeded from a random batch vector
+                                    # (0 disables dead-code restarts)
     # --- vae ---
     free_nats: float = 0.0    # per-dim KL floor (free bits)
     kl_anneal_steps: int = 0  # linear KL-weight ramp; 0 = constant 1.0
@@ -93,6 +96,8 @@ class TrainConfig:
     n_steps: int = 100000
     ckpt_every: int = 1000
     log_every: int = 50
+    holdout_every: int = 0    # >0: every k-th clip is held out of training
+                              # and used by Chassis.evaluate()
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; params stay f32
 
 

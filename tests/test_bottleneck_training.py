@@ -31,16 +31,20 @@ def _train(cfg, prefix, steps):
 
 
 def test_vq_trains(data_prefix):
+    # NOTE: lr matters here — at ~5e-3 the z/codebook contraction spiral
+    # collapses usage (a real VQ-VAE dynamic, not a bug; verified z spread
+    # 4.0 -> 0.04); at the flagship 4e-4 the codebook stays alive and
+    # perplexity grows (3 -> 20+ within 400 steps on the synthetic fixture)
     cfg = tiny_config()
     cfg = dataclasses.replace(
         cfg,
-        bottleneck=BottleneckConfig(kind="vq", n_dim=16, vq_k=64),
-        train=dataclasses.replace(cfg.train, n_steps=40, log_every=10,
-                                  learning_rate=2e-3),
+        bottleneck=BottleneckConfig(kind="vq", n_dim=16, vq_k=64, jitter_p=0.0),
+        train=dataclasses.replace(cfg.train, batch_sz=8, n_steps=300,
+                                  log_every=50, learning_rate=4e-4),
     )
-    ch, hist = _train(cfg, data_prefix, 40)
+    ch, hist = _train(cfg, data_prefix, 300)
     assert hist[-1]["recon_ce"] < hist[0]["recon_ce"]
-    assert hist[-1]["perplexity"] > 1.5  # codebook in use
+    assert hist[-1]["perplexity"] > 3.0  # codebook in use, not collapsed
     assert np.isfinite(hist[-1]["loss"])
     ev = ch.evaluate(n_batches=2)
     assert np.isfinite(ev["recon_ce"]) and ev["recon_ce"] < 6.0
@@ -52,12 +56,12 @@ def test_vae_trains_with_annealing(data_prefix):
         cfg,
         bottleneck=BottleneckConfig(kind="vae", n_dim=16, free_nats=0.05,
                                     kl_anneal_steps=200),
-        train=dataclasses.replace(cfg.train, n_steps=40, log_every=10,
-                                  learning_rate=2e-3),
+        train=dataclasses.replace(cfg.train, n_steps=60, log_every=10,
+                                  learning_rate=5e-3),
     )
-    ch, hist = _train(cfg, data_prefix, 40)
+    ch, hist = _train(cfg, data_prefix, 60)
     assert hist[-1]["recon_ce"] < hist[0]["recon_ce"]
-    assert 0.0 <= hist[-1]["kl_weight"] <= 0.25  # annealing ramp active
+    assert 0.0 <= hist[-1]["kl_weight"] <= 0.4  # annealing ramp active
     assert hist[-1]["kl"] >= 0.0
 
 
