@@ -174,8 +174,32 @@ def supports_fused(cfg: WaveNetConfig, batch: int) -> bool:
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "temperature", "quantized")
+)
+def _fused_pipeline(params, cfg: WaveNetConfig, state: GenState, cond, rng,
+                    gc_ids, temperature: float, quantized: bool):
+    """One compiled program: pack weights + flatten buffers + run the fused
+    kernel + rebuild the state.  Keeping the conversions inside the jit
+    avoids a storm of small host dispatches per call (measured 0.5 s/call
+    through the remote-TPU tunnel — 3x the kernel time itself)."""
+    from ae_wavenet_tpu.ops import fastgen as fg
+
+    packed = (pack_for_pallas_int8 if quantized else pack_for_pallas)(params, cfg)
+    flat = state_to_flat(state, cfg)
+    cond_gc = fg._with_gc(params, cfg, cond, gc_ids)
+    seed = jax.random.randint(rng, (), 0, 2**31 - 1, dtype=jnp.int32)
+    ids, new_flat, last = generate_fused(
+        packed, cfg, flat, state.prev_id, state.t, cond_gc, seed,
+        temperature=temperature, quantized=quantized,
+    )
+    t_new = state.t + cond.shape[-1]
+    return ids, flat_to_state(new_flat, last, t_new, cfg)
+
+
 def generate_auto(params, cfg: WaveNetConfig, state: GenState, cond, rng,
-                  gc_ids=None, temperature: float = 1.0, dtype=None):
+                  gc_ids=None, temperature: float = 1.0, dtype=None,
+                  quantized: bool = False):
     """Drop-in replacement for fastgen.generate: uses the fused Pallas
     kernel on TPU when the config allows, else the lax.scan path.
 
@@ -190,16 +214,8 @@ def generate_auto(params, cfg: WaveNetConfig, state: GenState, cond, rng,
             temperature=temperature,
             dtype=dtype if dtype is not None else jnp.float32,
         )
-    packed = pack_for_pallas(params, cfg)
-    flat = state_to_flat(state, cfg)
-    cond_gc = fg._with_gc(params, cfg, cond, gc_ids)
-    seed = jax.random.randint(rng, (), 0, 2**31 - 1, dtype=jnp.int32)
-    ids, new_flat, last = generate_fused(
-        packed, cfg, flat, state.prev_id, state.t, cond_gc, seed,
-        temperature=temperature,
-    )
-    t_new = state.t + cond.shape[-1]
-    return ids, flat_to_state(new_flat, last, t_new, cfg)
+    return _fused_pipeline(params, cfg, state, cond, rng, gc_ids,
+                           temperature, quantized)
 
 
 def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
