@@ -26,6 +26,8 @@ def _add_runtime_flags(p):
     p.add_argument("--ckpt-every", type=int, default=None)
     p.add_argument("--mesh", action="store_true",
                    help="shard the batch over all visible devices")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="run Chassis.evaluate() every N steps (0 = off)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -134,7 +136,7 @@ def main(argv=None) -> int:
         ch.resume(a.step)
         print(f"resumed at step {ch.step}")
     print(config_mod.to_json(cfg))
-    ch.train(cfg.train.n_steps)
+    ch.train(cfg.train.n_steps, eval_every=a.eval_every)
     if a.ckpt_dir:
         path = ch.save()
         print(f"saved {path}")

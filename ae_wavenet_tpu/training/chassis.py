@@ -214,7 +214,8 @@ class Chassis:
         return totals
 
     # -------------------------------------------------------------- train
-    def train(self, n_steps: int | None = None) -> list[dict]:
+    def train(self, n_steps: int | None = None,
+              eval_every: int = 0) -> list[dict]:
         t_cfg = self.cfg.train
         n_steps = t_cfg.n_steps if n_steps is None else n_steps
         sharding = mesh_mod.batch_sharding(self.mesh) if self.mesh is not None else None
@@ -254,6 +255,12 @@ class Chassis:
                 self.log_stream.flush()
                 t0 = time.time()
                 samples_done = 0
+            if eval_every and self.step % eval_every == 0:
+                ev = {f"eval_{k}": v for k, v in self.evaluate().items()}
+                self.log_stream.write(
+                    json.dumps({"step": self.step, **ev}) + "\n"
+                )
+                self.log_stream.flush()
             if self.ckpt_dir and self.step % t_cfg.ckpt_every == 0:
                 self.save()
             if stop["flag"]:

@@ -40,11 +40,11 @@ def main() -> int:
     from ae_wavenet_tpu.utils.config import BottleneckConfig, RunConfig, TrainConfig
 
     # defaults from the measured v5e sweep (BASELINE.md): long windows
-    # amortize the 2046-sample receptive-field halo; b16x1600 -> 395k,
-    # b16x8000 -> 516k, b8x16000 -> 542k samples/s/chip (b16x16000 exceeds
+    # amortize the 2046-sample receptive-field halo and bf16 intermediates
+    # lift the HBM bound; b8 x 24000 -> 963k samples/s/chip (32k/48k exceed
     # the compiler/memory budget)
     batch_sz = int(os.environ.get("BENCH_BATCH", "8"))
-    n_win = int(os.environ.get("BENCH_NWIN", "16000"))
+    n_win = int(os.environ.get("BENCH_NWIN", "24000"))
     warmup = 3
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
