@@ -110,6 +110,11 @@ def _dft_matrices(win_sz: int, n_fft: int):
     """Real-DFT as two matmuls (XLA's TPU FFT is emulated and slow; the MXU
     eats a [win, 2*(nfft/2+1)] matmul for breakfast).  Returns [win, bins]
     cos/sin matrices folded with zero-padding to n_fft."""
+    if win_sz > n_fft:
+        raise ValueError(
+            f"win_sz {win_sz} > n_fft {n_fft}: the DFT matmul would alias "
+            f"samples modulo n_fft instead of truncating like rfft(n=...)"
+        )
     n_bins = n_fft // 2 + 1
     t = np.arange(win_sz)[:, None]
     k = np.arange(n_bins)[None, :]

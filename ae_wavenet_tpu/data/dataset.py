@@ -8,9 +8,10 @@ footprint) was computed by the geometry layer (``models.autoencoder
 
 TPU-first redesign of the reference's checkpointable iterator: instead of
 saving DataLoader iterator/RNG state, the batch at step ``s`` is a PURE
-FUNCTION of ``(seed, s)`` (counter-based numpy Philox).  Resume == restart
-at the checkpointed step; the sample stream continues identically — same
-contract, no mutable state to serialize.
+FUNCTION of ``(seed, s)`` (an independent SeedSequence-derived stream per
+step — NOT a shared counter-advanced stream; see batch_at).  Resume ==
+restart at the checkpointed step; the sample stream continues identically —
+same contract, no mutable state to serialize.
 """
 
 from __future__ import annotations

@@ -25,22 +25,17 @@ input stage of the north star).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
 from ae_wavenet_tpu.audio import mfcc as mfcc_mod
 from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_encode
-from ae_wavenet_tpu.geometry.vconv import Chain, PlanStep, Range
+from ae_wavenet_tpu.geometry.vconv import Chain, Range
 from ae_wavenet_tpu.models import bottlenecks, encoder, wavenet
-from ae_wavenet_tpu.utils.config import RunConfig
-
-
-from ae_wavenet_tpu.models.common import (  # noqa: E402  (re-exported API)
+from ae_wavenet_tpu.models.common import (  # re-exported API
     WindowSpec, make_window_spec as _make_window_spec, normalize_frames,
 )
+from ae_wavenet_tpu.utils.config import RunConfig
 
 
 def cond_chain(cfg: RunConfig) -> Chain:
@@ -151,30 +146,11 @@ def reconstruct(
     n_samples: int | None = None,
 ):
     """Autoencode a whole utterance: encode -> prime on real left context ->
-    autoregressively sample.  Returns (mu-law ids [B, n], start) where the
-    output corresponds to input positions [start, start + n)."""
-    from ae_wavenet_tpu.audio.mulaw import mu_decode  # noqa: F401 (callers)
-    from ae_wavenet_tpu.ops import fastgen
+    autoregressively sample (shared driver in models/common.py)."""
+    from ae_wavenet_tpu.models.common import reconstruct as _reconstruct
 
-    rng_e, rng_g = jax.random.split(rng)
-    cond, c_off = encode(params, bn_state, cfg, wav_i16, rng_e)
-    rf = wavenet.receptive_field(cfg.wavenet)
-    tc = cond.shape[-1]
-    if tc <= rf + 1:
-        raise ValueError(f"utterance too short: {tc} cond frames <= rf+1")
-    n = tc - rf - 1 if n_samples is None else min(n_samples, tc - rf - 1)
-    ids = mu_encode(int16_to_float(wav_i16), cfg.wavenet.n_quant)
-    # prime on real samples at positions [c_off, c_off + rf + 1)
-    ctx = ids[..., c_off : c_off + rf + 1]
-    state = fastgen.init_state(cfg.wavenet, wav_i16.shape[0])
-    state = fastgen.prime(params["wavenet"], cfg.wavenet, state, ctx, cond, spk)
-    from ae_wavenet_tpu.ops.fastgen_pallas import generate_auto
-
-    out, _ = generate_auto(
-        params["wavenet"], cfg.wavenet, state, cond[..., rf : rf + n],
-        rng_g, gc_ids=spk, temperature=temperature,
-    )
-    return out, c_off + rf + 1
+    return _reconstruct(encode, params, bn_state, cfg, wav_i16, spk, rng,
+                        temperature, n_samples)
 
 
 def loss_fn(

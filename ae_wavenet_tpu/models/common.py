@@ -58,13 +58,51 @@ def make_window_spec(cfg: RunConfig, chain: Chain, n_win: int | None,
     c_off = (r0.b + r0.e) // 2
     u_len = max(f_in.e, c_off + t_in + 1)
     n_front = len(cfg.spec.geometry().layers)
-    enc_in = steps[n_front].in_want if n_front < len(steps) else steps[-1].out_want
+    if n_front < len(steps):
+        # frontend output lattice must hand off exactly to the next stage
+        assert (steps[n_front - 1].out_want.as_tuple()
+                == steps[n_front].in_want.as_tuple()), (
+            "geometry bug: frontend/encoder plan discontinuity"
+        )
+        enc_in = steps[n_front].in_want
+    else:
+        enc_in = steps[-1].out_want
     n_up = len(cfg.wavenet.lc_upsample_strides)
     up_steps = steps[len(steps) - n_up:]
     return WindowSpec(
         u_len=u_len, fb=f_in.b, fe=f_in.e, w0=c_off, t_in=t_in, rf=rf,
         n_win=n_win, n_frames=len(enc_in), up_steps=tuple(up_steps),
     )
+
+
+def reconstruct(encode_fn, params: dict, bn_state: dict, cfg: RunConfig,
+                wav_i16: jax.Array, spk: jax.Array, rng: jax.Array,
+                temperature: float = 1.0, n_samples: int | None = None):
+    """Shared generation driver: encode a whole utterance with
+    ``encode_fn(params, bn_state, cfg, wav_i16, rng) -> (cond, c_off)``,
+    prime the fast queues on real left context, and sample autoregressively.
+    Returns (mu-law ids [B, n], start) where the output corresponds to input
+    positions [start, start + n)."""
+    from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_encode
+    from ae_wavenet_tpu.ops import fastgen
+    from ae_wavenet_tpu.ops.fastgen_pallas import generate_auto
+
+    rng_e, rng_g = jax.random.split(rng)
+    cond, c_off = encode_fn(params, bn_state, cfg, wav_i16, rng_e)
+    rf = wavenet.receptive_field(cfg.wavenet)
+    tc = cond.shape[-1]
+    if tc <= rf + 1:
+        raise ValueError(f"utterance too short: {tc} cond frames <= rf+1")
+    n = tc - rf - 1 if n_samples is None else min(n_samples, tc - rf - 1)
+    ids = mu_encode(int16_to_float(wav_i16), cfg.wavenet.n_quant)
+    ctx = ids[..., c_off : c_off + rf + 1]
+    state = fastgen.init_state(cfg.wavenet, wav_i16.shape[0])
+    state = fastgen.prime(params["wavenet"], cfg.wavenet, state, ctx, cond, spk)
+    out, _ = generate_auto(
+        params["wavenet"], cfg.wavenet, state, cond[..., rf : rf + n],
+        rng_g, gc_ids=spk, temperature=temperature,
+    )
+    return out, c_off + rf + 1
 
 
 def normalize_frames(frames: jax.Array, n_ref: int | None = None) -> jax.Array:

@@ -86,23 +86,8 @@ def encode(params: dict, bn_state: dict, cfg: RunConfig, wav_i16: jax.Array,
 def reconstruct(params, bn_state, cfg: RunConfig, wav_i16, spk, rng,
                 temperature: float = 1.0, n_samples: int | None = None):
     """Vocode a whole utterance from its own MFCC (same contract as
-    autoencoder.reconstruct)."""
-    from ae_wavenet_tpu.ops import fastgen
-    from ae_wavenet_tpu.ops.fastgen_pallas import generate_auto
+    autoencoder.reconstruct; shared driver in models/common.py)."""
+    from ae_wavenet_tpu.models.common import reconstruct as _reconstruct
 
-    rng_e, rng_g = jax.random.split(rng)
-    cond, c_off = encode(params, bn_state, cfg, wav_i16, rng_e)
-    rf = wavenet.receptive_field(cfg.wavenet)
-    tc = cond.shape[-1]
-    if tc <= rf + 1:
-        raise ValueError(f"utterance too short: {tc} cond frames <= rf+1")
-    n = tc - rf - 1 if n_samples is None else min(n_samples, tc - rf - 1)
-    ids = mu_encode(int16_to_float(wav_i16), cfg.wavenet.n_quant)
-    ctx = ids[..., c_off : c_off + rf + 1]
-    state = fastgen.init_state(cfg.wavenet, wav_i16.shape[0])
-    state = fastgen.prime(params["wavenet"], cfg.wavenet, state, ctx, cond, spk)
-    out, _ = generate_auto(
-        params["wavenet"], cfg.wavenet, state, cond[..., rf : rf + n],
-        rng_g, gc_ids=spk, temperature=temperature,
-    )
-    return out, c_off + rf + 1
+    return _reconstruct(encode, params, bn_state, cfg, wav_i16, spk, rng,
+                        temperature, n_samples)

@@ -124,17 +124,30 @@ class Chassis:
             all_idx = np.arange(n_clips)
             hold = all_idx[all_idx % k == 0]
             train_idx = all_idx[all_idx % k != 0]
+            if len(train_idx) == 0:
+                raise ValueError(
+                    f"holdout_every={k} leaves no training clips "
+                    f"({n_clips} total)"
+                )
         else:
             hold, train_idx = None, None
         self.sampler = WindowSampler(
             self.dataset, self.spec.u_len, cfg.train.batch_sz,
             cfg.train.seed, clip_indices=train_idx,
         )
-        self.eval_sampler = (
-            WindowSampler(self.dataset, self.spec.u_len, cfg.train.batch_sz,
-                          cfg.train.seed, clip_indices=hold)
-            if hold is not None else None
-        )
+        self.eval_sampler = None
+        if hold is not None:
+            try:
+                self.eval_sampler = WindowSampler(
+                    self.dataset, self.spec.u_len, cfg.train.batch_sz,
+                    cfg.train.seed, clip_indices=hold,
+                )
+            except ValueError as e:
+                # a holdout with only too-short clips must not block training
+                sys.stderr.write(
+                    f"warning: holdout split unusable ({e}); evaluate() will "
+                    f"fall back to the training distribution\n"
+                )
         self.optimizer = make_optimizer(cfg)
         base_key = jax.random.PRNGKey(cfg.train.seed)
         self.step_fn = make_train_step(
@@ -234,41 +247,45 @@ class Chassis:
             for sig in (signal.SIGTERM, signal.SIGINT):
                 old_handlers[sig] = signal.signal(sig, _handler)
 
-        for s, (wav, spk) in device_batches(
-            self.sampler, self.step, n_steps, sharding
-        ):
-            self.params, self.opt_state, self.bn_state, metrics = self.step_fn(
-                self.params, self.opt_state, self.bn_state, wav, spk, jnp.int32(s)
-            )
-            self.step = s + 1
-            samples_done += t_cfg.batch_sz * self.spec.n_win
-            if (s + 1) % t_cfg.log_every == 0 or s + 1 == start + n_steps:
-                fetched = {k: float(v) for k, v in metrics.items()}
-                dt = time.time() - t0
-                rec = {
-                    "step": self.step,
-                    "samples_per_sec": samples_done / max(dt, 1e-9),
-                    **fetched,
-                }
-                history.append(rec)
-                self.log_stream.write(json.dumps(rec) + "\n")
-                self.log_stream.flush()
-                t0 = time.time()
-                samples_done = 0
-            if eval_every and self.step % eval_every == 0:
-                ev = {f"eval_{k}": v for k, v in self.evaluate().items()}
-                self.log_stream.write(
-                    json.dumps({"step": self.step, **ev}) + "\n"
+        try:
+            for s, (wav, spk) in device_batches(
+                self.sampler, self.step, n_steps, sharding
+            ):
+                self.params, self.opt_state, self.bn_state, metrics = self.step_fn(
+                    self.params, self.opt_state, self.bn_state, wav, spk, jnp.int32(s)
                 )
-                self.log_stream.flush()
-            if self.ckpt_dir and self.step % t_cfg.ckpt_every == 0:
-                self.save()
-            if stop["flag"]:
-                path = self.save()
-                self.log_stream.write(
-                    json.dumps({"preempted_at": self.step, "saved": path}) + "\n"
-                )
-                break
-        for sig, h in old_handlers.items():
-            signal.signal(sig, h)
+                self.step = s + 1
+                samples_done += t_cfg.batch_sz * self.spec.n_win
+                if (s + 1) % t_cfg.log_every == 0 or s + 1 == start + n_steps:
+                    fetched = {k: float(v) for k, v in metrics.items()}
+                    dt = time.time() - t0
+                    rec = {
+                        "step": self.step,
+                        "samples_per_sec": samples_done / max(dt, 1e-9),
+                        **fetched,
+                    }
+                    history.append(rec)
+                    self.log_stream.write(json.dumps(rec) + "\n")
+                    self.log_stream.flush()
+                    t0 = time.time()
+                    samples_done = 0
+                if eval_every and self.step % eval_every == 0:
+                    ev = {f"eval_{k}": v for k, v in self.evaluate().items()}
+                    self.log_stream.write(
+                        json.dumps({"step": self.step, **ev}) + "\n"
+                    )
+                    self.log_stream.flush()
+                if self.ckpt_dir and self.step % t_cfg.ckpt_every == 0:
+                    self.save()
+                if stop["flag"]:
+                    path = self.save()
+                    self.log_stream.write(
+                        json.dumps({"preempted_at": self.step, "saved": path}) + "\n"
+                    )
+                    break
+        finally:
+            # restore on every exit path (a raised loader/eval exception must
+            # not leave the process un-interruptible)
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)
         return history

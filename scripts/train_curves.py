@@ -29,7 +29,13 @@ for kind, bn in [
     cfg = dc.replace(cfg, bottleneck=bn,
                      train=dc.replace(cfg.train, batch_sz=8, n_steps=STEPS,
                                       log_every=max(STEPS // 40, 10),
-                                      learning_rate=1e-3, holdout_every=4))
+                                      learning_rate=1e-3,
+                                      # 5 is coprime with the 4-speaker
+                                      # period, so the holdout split spans
+                                      # all speakers (holdout_every=4 would
+                                      # hold out exactly speaker 0, leaving
+                                      # its embedding untrained)
+                                      holdout_every=5))
     ch = Chassis(cfg, prefix, log_stream=io.StringIO())
     hist = ch.train(STEPS)
     ev = ch.evaluate(n_batches=4)
