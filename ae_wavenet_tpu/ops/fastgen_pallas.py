@@ -228,6 +228,17 @@ def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
     xin_pad = _round_up(2 * n_res + n_cond, 128)
     offs, total_slots = flat_buffers(cfg)
     dils = cfg.dilations
+    # layers with small dilations keep their ring buffers resident in VMEM
+    # (loaded from the flat HBM state at t==0, written back at the last
+    # step): removes 2 DMA issues/layer/step for nearly half the layers
+    VMEM_DIL_MAX = 8
+    small = [l for l in range(L) if dils[l] <= VMEM_DIL_MAX]
+    loffs = {}
+    _acc = 0
+    for l in small:
+        loffs[l] = _acc
+        _acc += dils[l]
+    n_small_slots = max(_acc, 1)
 
     def kernel(*args):
         # unpack: 2 scalar-prefetch + inputs (+2 scale inputs if quantized)
@@ -241,10 +252,10 @@ def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
         ids_ref, bufs_out, last_id_ref, *rest = args[i + 8 :]
         if debug_logits:
             logits_out = rest[0]
-            (win_scr, wout_scr, xprev_scr, xin_scr, xwr_scr, prev_scr,
+            (win_scr, wout_scr, xprev_scr, xin_scr, xwr_scr, vbufs, prev_scr,
              w_sems, rd_sems, wr_sems) = rest[1:]
         else:
-            (win_scr, wout_scr, xprev_scr, xin_scr, xwr_scr, prev_scr,
+            (win_scr, wout_scr, xprev_scr, xin_scr, xwr_scr, vbufs, prev_scr,
              w_sems, rd_sems, wr_sems) = rest
         t = pl.program_id(0)
         t_abs = t0_ref[0] + t
@@ -286,10 +297,24 @@ def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
             a, b_ = w_dma(0, 0)
             a.start()
             b_.start()
+            # load the small-dilation ring buffers into VMEM residence
+            for l in small:
+                pltpu.make_async_copy(
+                    bufs_out.at[pl.ds(offs[l], dils[l])],
+                    vbufs.at[pl.ds(loffs[l], dils[l])],
+                    rd_sems.at[l],
+                ).start()
+            for l in small:
+                pltpu.make_async_copy(
+                    bufs_out.at[pl.ds(offs[l], dils[l])],
+                    vbufs.at[pl.ds(loffs[l], dils[l])],
+                    rd_sems.at[l],
+                ).wait()
 
-        # prefetch all ring-buffer slots for this step
+        # prefetch the HBM ring-buffer slots for this step (large dilations)
         for l in range(L):
-            rd_dma(l).start()
+            if l not in small:
+                rd_dma(l).start()
 
         # embedding via one-hot matmul (MXU)
         prev = prev_scr[:]  # [B, 1] int32
@@ -316,15 +341,20 @@ def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
             ]
             for dma in w_sems_wait:
                 dma.wait()
-            rd_dma(l).wait()
 
             xb = x.astype(jnp.bfloat16)
-            xin_scr[:, :n_res] = xprev_scr[l]
+            if l in small:
+                slot = loffs[l] + jax.lax.rem(t_abs, dils[l])
+                xin_scr[:, :n_res] = vbufs[pl.ds(slot, 1)][0]
+                vbufs[pl.ds(slot, 1)] = xb[None]  # read-then-write in order
+            else:
+                rd_dma(l).wait()
+                xin_scr[:, :n_res] = xprev_scr[l]
+                xwr_scr[l] = xb
+                # write x (this layer's input) back into the slot we read
+                wr_dma(l).start()
             xin_scr[:, n_res : 2 * n_res] = xb
             xin_scr[:, 2 * n_res : 2 * n_res + n_cond] = cond
-            xwr_scr[l] = xb
-            # write x (this layer's input) back into the slot we just read
-            wr_dma(l).start()
 
             if quantized:
                 # dynamic per-tile activation quantization; weights carry
@@ -392,11 +422,29 @@ def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
             a.start()
             b_.start()
 
+        # write the VMEM-resident buffers back to the flat HBM state on the
+        # final step (so chunked generation / flat_to_state keep working)
+        @pl.when(t == t_len - 1)
+        def _():
+            for l in small:
+                pltpu.make_async_copy(
+                    vbufs.at[pl.ds(loffs[l], dils[l])],
+                    bufs_out.at[pl.ds(offs[l], dils[l])],
+                    wr_sems.at[l],
+                ).start()
+            for l in small:
+                pltpu.make_async_copy(
+                    vbufs.at[pl.ds(loffs[l], dils[l])],
+                    bufs_out.at[pl.ds(offs[l], dils[l])],
+                    wr_sems.at[l],
+                ).wait()
+
         # make sure this step's buffer writes land before the next step reads
         for l in range(L):
-            wr_dma(l).wait()
+            if l not in small:
+                wr_dma(l).wait()
 
-    return kernel, xin_pad, total_slots
+    return kernel, xin_pad, n_small_slots
 
 
 @functools.partial(
@@ -424,7 +472,7 @@ def generate_fused(
     """
     batch, n_cond, t_len = cond.shape
     L = len(cfg.dilations)
-    kernel, xin_pad, total_slots = _make_kernel(
+    kernel, xin_pad, n_small_slots = _make_kernel(
         cfg, t_len, batch, temperature, debug_logits, quantized
     )
     cond_tm = jnp.transpose(cond, (2, 0, 1)).astype(jnp.bfloat16)
@@ -483,6 +531,7 @@ def generate_fused(
             pltpu.VMEM((L, batch, cfg.n_res), jnp.bfloat16),         # x_prev
             pltpu.VMEM((batch, xin_pad), jnp.bfloat16),              # xin
             pltpu.VMEM((L, batch, cfg.n_res), jnp.bfloat16),         # x write
+            pltpu.VMEM((n_small_slots, batch, cfg.n_res), jnp.bfloat16),
             pltpu.VMEM((batch, 1), jnp.int32),                       # prev id
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((L,)),
