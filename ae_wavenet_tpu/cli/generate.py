@@ -21,6 +21,9 @@ def main(argv=None) -> int:
     p.add_argument("--max-input", type=int, default=64000,
                    help="cap on input samples fed to the encoder")
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-streaming fused kernel (TPU; ~1.3x "
+                        "faster AR sampling, slight quantization noise)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", required=True, help="output .wav path")
     a = p.parse_args(argv)
@@ -56,7 +59,7 @@ def main(argv=None) -> int:
     ids, start = model.reconstruct(
         params, bn_state, cfg, jnp.asarray(wav), jnp.asarray(spk),
         jax.random.PRNGKey(a.seed), temperature=a.temperature,
-        n_samples=a.n_samples,
+        n_samples=a.n_samples, quantized=a.int8,
     )
 
     out = np.asarray(mu_decode(ids, cfg.wavenet.n_quant))[0]

@@ -144,13 +144,14 @@ def reconstruct(
     rng: jax.Array,
     temperature: float = 1.0,
     n_samples: int | None = None,
+    quantized: bool = False,
 ):
     """Autoencode a whole utterance: encode -> prime on real left context ->
     autoregressively sample (shared driver in models/common.py)."""
     from ae_wavenet_tpu.models.common import reconstruct as _reconstruct
 
     return _reconstruct(encode, params, bn_state, cfg, wav_i16, spk, rng,
-                        temperature, n_samples)
+                        temperature, n_samples, quantized)
 
 
 def loss_fn(

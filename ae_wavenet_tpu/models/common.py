@@ -77,7 +77,8 @@ def make_window_spec(cfg: RunConfig, chain: Chain, n_win: int | None,
 
 def reconstruct(encode_fn, params: dict, bn_state: dict, cfg: RunConfig,
                 wav_i16: jax.Array, spk: jax.Array, rng: jax.Array,
-                temperature: float = 1.0, n_samples: int | None = None):
+                temperature: float = 1.0, n_samples: int | None = None,
+                quantized: bool = False):
     """Shared generation driver: encode a whole utterance with
     ``encode_fn(params, bn_state, cfg, wav_i16, rng) -> (cond, c_off)``,
     prime the fast queues on real left context, and sample autoregressively.
@@ -100,7 +101,7 @@ def reconstruct(encode_fn, params: dict, bn_state: dict, cfg: RunConfig,
     state = fastgen.prime(params["wavenet"], cfg.wavenet, state, ctx, cond, spk)
     out, _ = generate_auto(
         params["wavenet"], cfg.wavenet, state, cond[..., rf : rf + n],
-        rng_g, gc_ids=spk, temperature=temperature,
+        rng_g, gc_ids=spk, temperature=temperature, quantized=quantized,
     )
     return out, c_off + rf + 1
 

@@ -84,10 +84,11 @@ def encode(params: dict, bn_state: dict, cfg: RunConfig, wav_i16: jax.Array,
 
 
 def reconstruct(params, bn_state, cfg: RunConfig, wav_i16, spk, rng,
-                temperature: float = 1.0, n_samples: int | None = None):
+                temperature: float = 1.0, n_samples: int | None = None,
+                quantized: bool = False):
     """Vocode a whole utterance from its own MFCC (same contract as
     autoencoder.reconstruct; shared driver in models/common.py)."""
     from ae_wavenet_tpu.models.common import reconstruct as _reconstruct
 
     return _reconstruct(encode, params, bn_state, cfg, wav_i16, spk, rng,
-                        temperature, n_samples)
+                        temperature, n_samples, quantized)
