@@ -209,6 +209,19 @@ def generate_auto(params, cfg: WaveNetConfig, state: GenState, cond, rng,
     batch = cond.shape[0]
     on_tpu = jax.devices()[0].platform == "tpu"
     if not (on_tpu and supports_fused(cfg, batch)):
+        if quantized:
+            # the scan path has no int8 weight streaming; silently emitting
+            # full-precision output would misreport what --int8 produced
+            import warnings
+
+            warnings.warn(
+                "quantized=True requested but the fused Pallas path is "
+                "unavailable (platform="
+                f"{jax.devices()[0].platform}, supports_fused="
+                f"{supports_fused(cfg, batch)}); falling back to the "
+                "full-precision lax.scan sampler",
+                stacklevel=2,
+            )
         return fg.generate(
             params, cfg, state, cond, rng, gc_ids=gc_ids,
             temperature=temperature,

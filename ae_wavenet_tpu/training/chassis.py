@@ -224,6 +224,7 @@ class Chassis:
                               jnp.asarray(spk), jnp.int32(self.step))
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v) / n_batches
+        totals["split"] = "holdout" if self.eval_sampler is not None else "train"
         return totals
 
     # -------------------------------------------------------------- train

@@ -33,13 +33,18 @@ void gather_windows_i16(
 #include <math.h>
 void mu_encode_i16(const int16_t *x, int64_t n, uint8_t *out) {
     const double mu = 255.0;
-    const double inv_log1p_mu = 1.0 / log1p(mu);
+    const double log1p_mu = log1p(mu);
     for (int64_t i = 0; i < n; ++i) {
         double v = (double)x[i] / 32768.0;
         double s = v < 0 ? -1.0 : 1.0;
-        double y = s * log1p(mu * fabs(v)) * inv_log1p_mu;
+        /* same op order as mu_encode_np (division, not reciprocal-multiply)
+         * so results are bit-identical, not merely within 1 ulp */
+        double y = s * (log1p(mu * fabs(v)) / log1p_mu);
         double q = (y + 1.0) * 0.5 * mu;
-        long r = lround(q);
+        /* round-to-nearest-even to stay bit-identical with the numpy
+         * (np.rint) and jax (jnp.round) encoders on exact-tie inputs;
+         * lround's half-away-from-zero differed by one class there. */
+        long r = (long)rint(q);
         if (r < 0) r = 0;
         if (r > 255) r = 255;
         out[i] = (uint8_t)r;
