@@ -43,7 +43,12 @@ def _kernel(z_ref, e_ref, en2_ref, codes_ref, quant_ref, counts_ref, sums_ref):
         codes[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
     ).astype(jnp.float32)                                          # [TN, K]
     codes_ref[:] = codes.astype(jnp.int32)[:, None]
-    quant_ref[:] = jnp.dot(onehot, e, preferred_element_type=jnp.float32)
+    # HIGHEST precision: default MXU f32 matmul truncates inputs to bf16,
+    # but the lookup must return the codebook rows exactly (one-hot select)
+    quant_ref[:] = jnp.dot(
+        onehot, e, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     @pl.when(i == 0)
     def _():
@@ -51,7 +56,10 @@ def _kernel(z_ref, e_ref, en2_ref, codes_ref, quant_ref, counts_ref, sums_ref):
         sums_ref[:] = jnp.zeros_like(sums_ref)
 
     counts_ref[:] += jnp.sum(onehot, axis=0, keepdims=True)
-    sums_ref[:] += jnp.dot(onehot.T, z, preferred_element_type=jnp.float32)
+    sums_ref[:] += jnp.dot(
+        onehot.T, z, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
