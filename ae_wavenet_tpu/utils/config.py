@@ -43,7 +43,10 @@ class BottleneckConfig:
     ema_decay: float = 0.99
     ema_eps: float = 1e-5     # Laplace smoothing of EMA counts
     jitter_p: float = 0.12    # temporal jitter regularizer (train only)
-    vq_use_pallas: bool = False  # fused device kernel (ops/vq_pallas.py)
+    vq_use_pallas: bool = False  # fused device kernel (ops/vq_pallas.py);
+                                 # off by default: measured at parity with the
+                                 # XLA path at flagship shapes (BASELINE.md
+                                 # "Fused VQ kernel head-to-head")
     vq_restart_thresh: float = 0.2  # EMA-count floor below which a dead code
                                     # is re-seeded from a random batch vector
                                     # (0 disables dead-code restarts)
