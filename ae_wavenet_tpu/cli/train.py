@@ -18,6 +18,14 @@ import dataclasses
 from ae_wavenet_tpu.utils import config as config_mod
 
 
+def _int_tuple(s: str) -> tuple:
+    return tuple(int(x) for x in s.split(",") if x)
+
+
+def _float_tuple(s: str) -> tuple:
+    return tuple(float(x) for x in s.split(",") if x)
+
+
 def _add_runtime_flags(p):
     p.add_argument("--data", required=True, help="packed dataset prefix")
     p.add_argument("--ckpt-dir", default=None)
@@ -28,6 +36,16 @@ def _add_runtime_flags(p):
                    help="shard the batch over all visible devices")
     p.add_argument("--eval-every", type=int, default=0,
                    help="run Chassis.evaluate() every N steps (0 = off)")
+    # observability (SURVEY.md §5 rows 1-2, 5)
+    p.add_argument("--tb-logdir", default=None,
+                   help="also write metrics as TensorBoard scalars")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="trace the first N steps to --profile-dir (Perfetto)")
+    p.add_argument("--profile-dir", default=None,
+                   help="jax.profiler trace output dir (default: CKPT/profile)")
+    p.add_argument("--nan-checks", action="store_true",
+                   help="verify metrics+params are finite at every log point "
+                        "and raise at the first non-finite step")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -58,17 +76,45 @@ def build_parser() -> argparse.ArgumentParser:
     new.add_argument("--jitter-p", type=float, default=None)
     new.add_argument("--free-nats", type=float, default=None)
     new.add_argument("--kl-anneal-steps", type=int, default=None)
+    new.add_argument("--ema-decay", type=float, default=None)
+    new.add_argument("--vq-beta", type=float, default=None,
+                     help="commitment loss weight")
+    new.add_argument("--vq-restart-thresh", type=float, default=None,
+                     help="EMA-count floor for dead-code restarts (0 = off)")
+    new.add_argument("--vq-use-pallas", action="store_true", default=None,
+                     help="use the fused Pallas VQ kernel (ops/vq_pallas.py); "
+                          "default off — measured at parity with XLA at "
+                          "flagship shapes (BASELINE.md)")
+    new.add_argument("--n-lc-out", type=int, default=None,
+                     help="channels inside the conditioning upsampler")
+    new.add_argument("--n-global-embed", type=int, default=None,
+                     help="speaker embedding dim")
+    new.add_argument("--lc-upsample-strides", type=_int_tuple, default=None,
+                     help="comma list; product must equal hop_sz*down_stride")
+    new.add_argument("--lc-upsample-filters", type=_int_tuple, default=None,
+                     help="comma list, same length as strides (default 2*stride)")
     # training overrides
     new.add_argument("--batch-sz", type=int, default=None)
     new.add_argument("--n-win", type=int, default=None)
     new.add_argument("--learning-rate", type=float, default=None)
+    new.add_argument("--lr-boundaries", type=_int_tuple, default=None,
+                     help="comma list of steps at which the LR changes")
+    new.add_argument("--lr-values", type=_float_tuple, default=None,
+                     help="comma list of LRs, len = len(boundaries)+1")
+    new.add_argument("--weight-decay", type=float, default=None)
     new.add_argument("--grad-clip", type=float, default=None)
+    new.add_argument("--holdout-every", type=int, default=None,
+                     help="every k-th clip is held out for evaluate()")
     new.add_argument("--seed", type=int, default=None)
     new.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default=None)
 
     res = sub.add_parser("resume", help="resume from the latest checkpoint")
     _add_runtime_flags(res)
     res.add_argument("--step", type=int, default=None, help="checkpoint step")
+    res.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
+                     default=None,
+                     help="runtime numerics override (params stay f32; safe "
+                          "to change on resume)")
     return p
 
 
@@ -82,15 +128,34 @@ def config_from_args(a) -> config_mod.RunConfig:
 
     wn = over(wn, n_quant=a.n_quant, n_res=a.n_res, n_dil=a.n_dil,
               n_skp=a.n_skp, n_post=a.n_post, n_blocks=a.n_blocks,
-              n_block_layers=a.n_block_layers, n_speakers=a.n_speakers)
+              n_block_layers=a.n_block_layers, n_speakers=a.n_speakers,
+              n_lc_out=a.n_lc_out, n_global_embed=a.n_global_embed,
+              lc_upsample_strides=a.lc_upsample_strides,
+              lc_upsample_filters=a.lc_upsample_filters)
+    if a.lc_upsample_strides is not None and a.lc_upsample_filters is None:
+        wn = dataclasses.replace(
+            wn, lc_upsample_filters=tuple(2 * s for s in a.lc_upsample_strides)
+        )
     bn = over(bn, kind=a.bottleneck, n_dim=a.bn_dim, vq_k=a.vq_k,
               jitter_p=a.jitter_p, free_nats=a.free_nats,
-              kl_anneal_steps=a.kl_anneal_steps)
+              kl_anneal_steps=a.kl_anneal_steps, ema_decay=a.ema_decay,
+              vq_beta=a.vq_beta, vq_restart_thresh=a.vq_restart_thresh,
+              vq_use_pallas=a.vq_use_pallas)
     if a.bn_dim is not None:
         enc = dataclasses.replace(enc, n_out=a.bn_dim)
         wn = dataclasses.replace(wn, n_lc_in=a.bn_dim)
+    if a.lr_boundaries is not None or a.lr_values is not None:
+        lb = a.lr_boundaries if a.lr_boundaries is not None else tr.lr_boundaries
+        lv = a.lr_values if a.lr_values is not None else tr.lr_values
+        if len(lv) != len(lb) + 1:
+            raise SystemExit(
+                f"--lr-values needs len(--lr-boundaries)+1 entries "
+                f"(got {len(lv)} values for {len(lb)} boundaries)"
+            )
+        tr = dataclasses.replace(tr, lr_boundaries=lb, lr_values=lv)
     tr = over(tr, batch_sz=a.batch_sz, n_win=a.n_win,
               learning_rate=a.learning_rate, grad_clip=a.grad_clip,
+              weight_decay=a.weight_decay, holdout_every=a.holdout_every,
               seed=a.seed, compute_dtype=a.compute_dtype)
     if a.model == "mfcc_inverter":
         # upsampling must invert hop_sz alone (no encoder downsample)
@@ -128,10 +193,17 @@ def main(argv=None) -> int:
 
     cfg = dataclasses.replace(
         cfg, train=over(cfg.train, n_steps=a.n_steps, log_every=a.log_every,
-                        ckpt_every=a.ckpt_every)
+                        ckpt_every=a.ckpt_every,
+                        compute_dtype=getattr(a, "compute_dtype", None))
     )
     mesh = make_mesh() if a.mesh else None
-    ch = Chassis(cfg, a.data, ckpt_dir=a.ckpt_dir, mesh=mesh)
+    profile_dir = a.profile_dir
+    if a.profile_steps and profile_dir is None:
+        import os
+        profile_dir = os.path.join(a.ckpt_dir or ".", "profile")
+    ch = Chassis(cfg, a.data, ckpt_dir=a.ckpt_dir, mesh=mesh,
+                 tb_logdir=a.tb_logdir, nan_checks=a.nan_checks,
+                 profile_dir=profile_dir, profile_steps=a.profile_steps)
     if a.mode == "resume":
         ch.resume(a.step)
         print(f"resumed at step {ch.step}")

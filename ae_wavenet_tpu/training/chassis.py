@@ -19,8 +19,8 @@ device placement.  TPU-native differences:
 
 from __future__ import annotations
 
+import contextlib
 import functools
-import json
 import signal
 import sys
 import threading
@@ -36,7 +36,10 @@ from ae_wavenet_tpu.data.loader import device_batches
 from ae_wavenet_tpu.models import autoencoder as ae
 from ae_wavenet_tpu.parallel import mesh as mesh_mod
 from ae_wavenet_tpu.training import checkpoint as ckpt_mod
+from ae_wavenet_tpu.utils import debug as debug_mod
+from ae_wavenet_tpu.utils import profiling as prof_mod
 from ae_wavenet_tpu.utils.config import RunConfig
+from ae_wavenet_tpu.utils.logging import MetricsLogger
 
 
 def make_optimizer(cfg: RunConfig) -> optax.GradientTransformation:
@@ -100,11 +103,21 @@ class Chassis:
         ckpt_dir: str | None = None,
         mesh=None,
         log_stream=None,
+        tb_logdir: str | None = None,
+        nan_checks: bool = False,
+        profile_dir: str | None = None,
+        profile_steps: int = 0,
     ):
         self.cfg = cfg
         self.ckpt_dir = ckpt_dir
         self.mesh = mesh
-        self.log_stream = log_stream if log_stream is not None else sys.stdout
+        self.logger = MetricsLogger(
+            stream=log_stream if log_stream is not None else sys.stdout,
+            tb_logdir=tb_logdir,
+        )
+        self.nan_checks = nan_checks
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps if profile_dir else 0
         from ae_wavenet_tpu.models import registry
         self.model = registry.get(cfg.model_kind)
         self.spec = self.model.make_window_spec(cfg)
@@ -248,6 +261,12 @@ class Chassis:
             for sig in (signal.SIGTERM, signal.SIGINT):
                 old_handlers[sig] = signal.signal(sig, _handler)
 
+        # Perfetto trace of the first profile_steps steps (utils/profiling)
+        prof_stack = contextlib.ExitStack()
+        profiling = False
+        if self.profile_steps > 0:
+            prof_stack.enter_context(prof_mod.trace(self.profile_dir))
+            profiling = True
         try:
             for s, (wav, spk) in device_batches(
                 self.sampler, self.step, n_steps, sharding
@@ -257,8 +276,19 @@ class Chassis:
                 )
                 self.step = s + 1
                 samples_done += t_cfg.batch_sz * self.spec.n_win
+                if profiling and self.step - start >= self.profile_steps:
+                    jax.block_until_ready(metrics)
+                    prof_stack.close()
+                    profiling = False
+                    self.logger.log(self.step, {"profile_trace": self.profile_dir})
                 if (s + 1) % t_cfg.log_every == 0 or s + 1 == start + n_steps:
                     fetched = {k: float(v) for k, v in metrics.items()}
+                    if self.nan_checks:
+                        if not all(np.isfinite(v) for v in fetched.values()):
+                            raise FloatingPointError(
+                                f"non-finite metrics at step {self.step}: {fetched}"
+                            )
+                        debug_mod.assert_all_finite(self.params, "params")
                     dt = time.time() - t0
                     rec = {
                         "step": self.step,
@@ -266,25 +296,22 @@ class Chassis:
                         **fetched,
                     }
                     history.append(rec)
-                    self.log_stream.write(json.dumps(rec) + "\n")
-                    self.log_stream.flush()
+                    self.logger.log(self.step, {k: v for k, v in rec.items()
+                                                if k != "step"})
                     t0 = time.time()
                     samples_done = 0
                 if eval_every and self.step % eval_every == 0:
                     ev = {f"eval_{k}": v for k, v in self.evaluate().items()}
-                    self.log_stream.write(
-                        json.dumps({"step": self.step, **ev}) + "\n"
-                    )
-                    self.log_stream.flush()
+                    self.logger.log(self.step, ev)
                 if self.ckpt_dir and self.step % t_cfg.ckpt_every == 0:
                     self.save()
                 if stop["flag"]:
                     path = self.save()
-                    self.log_stream.write(
-                        json.dumps({"preempted_at": self.step, "saved": path}) + "\n"
-                    )
+                    self.logger.log(self.step,
+                                    {"preempted_at": self.step, "saved": path})
                     break
         finally:
+            prof_stack.close()
             # restore on every exit path (a raised loader/eval exception must
             # not leave the process un-interruptible)
             for sig, h in old_handlers.items():

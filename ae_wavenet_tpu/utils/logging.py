@@ -30,17 +30,27 @@ class MetricsLogger:
                     self._tb = None
 
     def log(self, step: int, metrics: dict) -> None:
-        rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        def coerce(v):
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return v  # pass strings/paths through to the JSONL record
+
+        rec = {"step": step, **{k: coerce(v) for k, v in metrics.items()}}
         self.stream.write(json.dumps(rec) + "\n")
         self.stream.flush()
         if self._tb is not None:
             for k, v in rec.items():
-                if k == "step":
+                if k == "step" or not isinstance(v, float):
                     continue
                 try:
                     self._tb.add_scalar(k, v, step)
                 except AttributeError:
                     self._tb.add_scalar(k, v, step=step)
+            try:
+                self._tb.flush()
+            except Exception:
+                pass
 
     def close(self) -> None:
         if self._tb is not None:

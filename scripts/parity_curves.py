@@ -1,0 +1,69 @@
+"""Loss-curve parity evidence (SURVEY.md §6 north star "matched
+reconstruction loss curves"): train the JAX chassis and the independent
+PyTorch mirror (scripts/torch_mirror.py) from IDENTICAL init on IDENTICAL
+batches and record both CE trajectories -> docs/parity_curves.json.
+
+Usage: PARITY_STEPS=200 python scripts/parity_curves.py
+"""
+
+from __future__ import annotations
+
+import dataclasses as dc
+import io
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=1")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from ae_wavenet_tpu.data.preprocess import make_synthetic_dataset
+from ae_wavenet_tpu.data.dataset import PackedDataset, WindowSampler
+from ae_wavenet_tpu.training.chassis import Chassis
+from ae_wavenet_tpu.utils.config import tiny_config
+from scripts import torch_mirror as tm
+
+STEPS = int(os.environ.get("PARITY_STEPS", "200"))
+
+td = tempfile.mkdtemp()
+prefix = os.path.join(td, "synth")
+make_synthetic_dataset(prefix, n_clips=10, n_speakers=4, seed=0)
+
+cfg = tiny_config()
+cfg = dc.replace(cfg, train=dc.replace(cfg.train, n_steps=STEPS, log_every=1,
+                                       learning_rate=1e-3))
+
+import numpy as np
+
+# --- JAX side: per-step CE from the chassis history
+ch = Chassis(cfg, prefix, log_stream=io.StringIO())
+# snapshot to host BEFORE training: the jitted step donates param buffers
+init_params = jax.tree.map(lambda x: np.array(x), ch.params)
+hist = ch.train(STEPS)
+jax_ce = [h["recon_ce"] for h in hist]
+
+# --- torch side: same init, same sampler stream
+ds = PackedDataset(prefix)
+sampler = WindowSampler(ds, ch.spec.u_len, cfg.train.batch_sz, cfg.train.seed)
+torch_ce = tm.train_curve(cfg, ch.spec, init_params, sampler, STEPS)
+
+diffs = [abs(a - b) for a, b in zip(jax_ce, torch_ce)]
+out = {
+    "config": "tiny plain-AE (BASELINE config 1)",
+    "steps": STEPS,
+    "learning_rate": cfg.train.learning_rate,
+    "jax_ce": [round(v, 5) for v in jax_ce],
+    "torch_ce": [round(v, 5) for v in torch_ce],
+    "abs_diff_max": round(max(diffs), 6),
+    "abs_diff_mean": round(sum(diffs) / len(diffs), 6),
+    "abs_diff_max_first_50": round(max(diffs[:50]), 6),
+}
+os.makedirs("docs", exist_ok=True)
+with open("docs/parity_curves.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(json.dumps({k: v for k, v in out.items()
+                  if not isinstance(v, list)}, indent=1))

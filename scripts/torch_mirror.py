@@ -1,0 +1,197 @@
+"""Independent PyTorch mirror of the tiny-config training step, used as the
+loss-curve parity oracle (SURVEY.md §6 north star "matched reconstruction
+loss curves"; the reference mount is empty, so parity is demonstrated against
+an independent same-math implementation instead).
+
+The mirror consumes the SAME raw int16 windows as the JAX chassis, imports
+the SAME initial parameters (via training/torch_compat naming), and runs the
+same optimizer — the CE trajectories must then agree to float tolerance.
+Every op is written with torch primitives (unfold/conv1d/matmul); only the
+config-derived constant matrices (mel filterbank, DCT, DFT, delta kernel)
+come from ae_wavenet_tpu.audio.mfcc, since they are data, not model code.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+from ae_wavenet_tpu.audio import mfcc as mfcc_mod
+from ae_wavenet_tpu.training.torch_compat import flatten_named
+from ae_wavenet_tpu.utils.config import RunConfig
+
+
+def params_to_torch(params) -> dict:
+    """JAX param pytree -> {dotted_name: torch leaf tensor} (trainable)."""
+    out = {}
+    for k, v in flatten_named(params).items():
+        t = torch.from_numpy(np.asarray(v, dtype=np.float32).copy())
+        t.requires_grad_(True)
+        out[k] = t
+    return out
+
+
+def _mu_encode(x: torch.Tensor, n_quant: int) -> torch.Tensor:
+    mu = float(n_quant - 1)
+    x = torch.clamp(x, -1.0, 1.0)
+    y = torch.sign(x) * torch.log1p(mu * torch.abs(x)) * (1.0 / math.log1p(mu))
+    return torch.clamp(torch.round((y + 1.0) * (0.5 * mu)), 0, mu).long()
+
+
+def _mfcc_stack(wav: torch.Tensor, spec) -> torch.Tensor:
+    """wav [B, T] -> [B, 3*n_mfcc, F'] (mirror of audio/mfcc.mfcc_delta_stack)."""
+    frames = wav.unfold(-1, spec.win_sz, spec.hop_sz)  # [B, F, win]
+    window = torch.from_numpy(
+        np.hanning(spec.win_sz + 1)[:-1].astype(np.float32)
+    )
+    fw = frames * window
+    cosm, sinm = mfcc_mod._dft_matrices(spec.win_sz, spec.n_fft)
+    re = fw @ torch.from_numpy(cosm)
+    im = fw @ torch.from_numpy(sinm)
+    power = re.square() + im.square()
+    mel = power @ torch.from_numpy(mfcc_mod.mel_filterbank(spec)).T
+    logmel = torch.log(torch.clamp(mel, min=1e-10))
+    mf = logmel @ torch.from_numpy(
+        mfcc_mod.dct_matrix(spec.n_mfcc, spec.n_mels)
+    ).T
+    mf = mf.transpose(-1, -2)  # [B, n_mfcc, F]
+
+    w = spec.delta_wing
+    k = mfcc_mod.delta_kernel(w)
+
+    def delta(x):
+        return sum(
+            float(k[i]) * x[..., i : x.shape[-1] - 2 * w + i]
+            for i in range(2 * w + 1)
+        )
+
+    d1 = delta(mf)
+    d2 = delta(d1)
+    return torch.cat(
+        [mf[..., 2 * w : mf.shape[-1] - 2 * w], d1[..., w : d1.shape[-1] - w], d2],
+        dim=-2,
+    )
+
+
+def _normalize(frames: torch.Tensor) -> torch.Tensor:
+    mean = frames.mean(-1, keepdim=True)
+    var = frames.var(-1, unbiased=False, keepdim=True)
+    return (frames - mean) / torch.sqrt(var + 1e-6)
+
+
+def _ln(p: dict, prefix: str, x: torch.Tensor) -> torch.Tensor:
+    mean = x.mean(1, keepdim=True)
+    var = x.var(1, unbiased=False, keepdim=True)
+    xn = (x - mean) / torch.sqrt(var + 1e-6)
+    return xn * p[f"{prefix}.g"][None, :, None] + p[f"{prefix}.o"][None, :, None]
+
+
+def _conv(p, prefix, x, stride=1, dilation=1):
+    return F.conv1d(x, p[f"{prefix}.w"], p[f"{prefix}.b"],
+                    stride=stride, dilation=dilation)
+
+
+def _tconv(p, prefix, x, stride):
+    """Mirror of ops/conv1d.tconv1d: zero-stuff + full correlation, then keep
+    only complete output positions."""
+    w, b = p[f"{prefix}.w"], p[f"{prefix}.b"]  # w: [Cout, Cin, f]
+    bsz, cin, t = x.shape
+    f = w.shape[-1]
+    u = x.new_zeros(bsz, cin, (t - 1) * stride + 1)
+    u[..., ::stride] = x
+    y = F.conv1d(u, w, padding=f - 1)
+    y = y[..., f - 1 : y.shape[-1] - (f - 1)]
+    return y + b[None, :, None]
+
+
+def _encoder(p: dict, cfg, x: torch.Tensor) -> torch.Tensor:
+    e = cfg.encoder
+    x = F.relu(_conv(p, "encoder.stem", x))
+    for i in range(e.n_pre_res):
+        h = F.relu(_conv(p, f"encoder.pre.{i}.a", x))
+        h = _conv(p, f"encoder.pre.{i}.b", h)
+        x = _ln(p, f"encoder.pre.{i}.ln", F.relu(x[..., 2:-2] + h))
+    x = F.relu(_conv(p, "encoder.down", x, stride=e.down_stride))
+    x = _ln(p, "encoder.down_ln", x)
+    for i in range(e.n_post_res):
+        h = F.relu(_conv(p, f"encoder.post.{i}.a", x))
+        h = _conv(p, f"encoder.post.{i}.b", h)
+        x = _ln(p, f"encoder.post.{i}.ln", F.relu(x[..., 2:-2] + h))
+    return _conv(p, "encoder.head", x)
+
+
+def _mm(p, prefix, x):
+    return torch.einsum("oc,bct->bot", p[f"{prefix}.w"], x) \
+        + p[f"{prefix}.b"][None, :, None]
+
+
+def _wavenet(p: dict, cfg, x_ids, cond, spk):
+    wn = cfg.wavenet
+    rf = (wn.filter_sz - 1) * sum(wn.dilations)
+    t_in = x_ids.shape[-1]
+    t_out = t_in - rf
+    x = p["wavenet.embed"][x_ids].permute(0, 2, 1)
+    g = p["wavenet.gc_embed"][spk][:, :, None].expand(-1, -1, t_in)
+    cond = torch.cat([cond, g], 1)
+    skip = 0.0
+    offset = 0
+    for i, d in enumerate(wn.dilations):
+        pre = f"wavenet.layers.{i}"
+        dd = d * (wn.filter_sz - 1)
+        cur = x[..., dd:]
+        prev = x[..., : x.shape[-1] - dd]
+        y = _mm(p, f"{pre}.w_prev", prev) + _mm(p, f"{pre}.w_cur", cur)
+        offset += dd
+        y = y + _mm(p, f"{pre}.w_cond", cond[..., offset:t_in])
+        f_, g_ = y.chunk(2, 1)
+        h = torch.tanh(f_) * torch.sigmoid(g_)
+        x = cur + _mm(p, f"{pre}.w_res", h)
+        skip = skip + _mm(p, f"{pre}.w_skip", h[..., h.shape[-1] - t_out :])
+    h = F.relu(skip)
+    h = F.relu(_mm(p, "wavenet.post1", h))
+    return _mm(p, "wavenet.post2", h)
+
+
+def loss(p: dict, cfg: RunConfig, spec, wav_i16: np.ndarray,
+         spk: np.ndarray) -> torch.Tensor:
+    """One teacher-forcing CE on a raw int16 window batch (mirror of
+    models/autoencoder.loss_fn with the plain-AE bottleneck)."""
+    assert cfg.bottleneck.kind == "ae", "mirror covers the plain-AE config"
+    wav = torch.from_numpy(np.asarray(wav_i16)).float() * (1.0 / 32768.0)
+    spk = torch.from_numpy(np.asarray(spk)).long()
+
+    frames = _normalize(_mfcc_stack(wav[..., spec.fb : spec.fe], cfg.spec))
+    z = _encoder(p, cfg, frames)
+
+    cond = z
+    for i, st in enumerate(spec.up_steps):
+        cond = F.relu(_tconv(p, f"wavenet.upsample.{i}", cond,
+                             cfg.wavenet.lc_upsample_strides[i]))
+        cond = cond[..., st.trim_l : st.trim_l + st.keep]
+
+    ids = _mu_encode(wav, cfg.wavenet.n_quant)
+    x_ids = ids[..., spec.w0 : spec.w0 + spec.t_in]
+    logits = _wavenet(p, cfg, x_ids, cond, spk)
+    targets = ids[..., spec.tgt_b : spec.tgt_b + spec.n_win]
+    return F.cross_entropy(logits, targets)
+
+
+def train_curve(cfg: RunConfig, spec, params, sampler, n_steps: int,
+                start_step: int = 0) -> list:
+    """Adam-train the mirror on sampler batches; returns per-step CE."""
+    p = params_to_torch(params)
+    t = cfg.train
+    opt = torch.optim.Adam(p.values(), lr=t.learning_rate,
+                           betas=(t.adam_b1, t.adam_b2), eps=t.adam_eps)
+    ces = []
+    for s in range(start_step, start_step + n_steps):
+        wav, spk = sampler.batch_at(s)
+        opt.zero_grad(set_to_none=True)
+        ce = loss(p, cfg, spec, wav, spk)
+        ce.backward()
+        opt.step()
+        ces.append(float(ce.detach()))
+    return ces

@@ -1,0 +1,71 @@
+"""Loss-curve parity vs the independent PyTorch mirror (SURVEY.md §6 north
+star "matched reconstruction loss curves"; reference mount empty, so parity
+is demonstrated against scripts/torch_mirror.py — same math, independent
+implementation/framework).
+
+The 200-step run lives in docs/parity_curves.json (scripts/parity_curves.py);
+this test keeps a fast 25-step version in CI.
+"""
+
+import dataclasses as dc
+import io
+
+import jax
+import numpy as np
+import pytest
+
+from ae_wavenet_tpu.data.preprocess import make_synthetic_dataset
+from ae_wavenet_tpu.data.dataset import PackedDataset, WindowSampler
+from ae_wavenet_tpu.models import autoencoder as ae
+from ae_wavenet_tpu.training.chassis import Chassis
+from ae_wavenet_tpu.utils.config import tiny_config
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from scripts import torch_mirror as tm  # noqa: E402
+
+STEPS = 25
+
+
+@pytest.fixture(scope="module")
+def data_prefix(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    prefix = str(d / "synth")
+    make_synthetic_dataset(prefix, n_clips=10, n_speakers=4, seed=0)
+    return prefix
+
+
+def test_single_loss_bit_close(data_prefix):
+    cfg = tiny_config()
+    spec = ae.make_window_spec(cfg)
+    ds = PackedDataset(data_prefix)
+    sampler = WindowSampler(ds, spec.u_len, cfg.train.batch_sz, cfg.train.seed)
+    params, bn_state = ae.init(jax.random.PRNGKey(cfg.train.seed + 1), cfg)
+    wav, spk = sampler.batch_at(0)
+    import jax.numpy as jnp
+    _, (_, metrics) = ae.loss_fn(
+        params, bn_state, cfg, spec, jnp.asarray(wav), jnp.asarray(spk),
+        jax.random.PRNGKey(9), jnp.int32(0),
+    )
+    ce_t = tm.loss(tm.params_to_torch(params), cfg, spec, wav, spk)
+    assert abs(float(metrics["recon_ce"]) - float(ce_t.detach())) < 1e-4
+
+
+def test_training_curves_match(data_prefix):
+    cfg = tiny_config()
+    cfg = dc.replace(cfg, train=dc.replace(cfg.train, n_steps=STEPS,
+                                           log_every=1, learning_rate=1e-3))
+    ch = Chassis(cfg, data_prefix, log_stream=io.StringIO())
+    init_params = jax.tree.map(lambda x: np.array(x), ch.params)
+    hist = ch.train(STEPS)
+    jax_ce = [h["recon_ce"] for h in hist]
+
+    ds = PackedDataset(data_prefix)
+    sampler = WindowSampler(ds, ch.spec.u_len, cfg.train.batch_sz,
+                            cfg.train.seed)
+    torch_ce = tm.train_curve(cfg, ch.spec, init_params, sampler, STEPS)
+
+    diffs = [abs(a - b) for a, b in zip(jax_ce, torch_ce)]
+    # measured: max 0.005 over the first 50 steps of the 200-step run
+    # (docs/parity_curves.json); 0.02 leaves slack for BLAS reassociation
+    assert max(diffs) < 0.02, diffs
