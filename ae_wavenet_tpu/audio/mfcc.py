@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Tuple
 
 import numpy as np
 
@@ -41,6 +42,14 @@ class SpecConfig:
     delta_wing: int = 2        # delta window = 2*wing + 1 frames
     mel_fmin: float = 0.0
     mel_fmax: float | None = None  # default sample_rate / 2
+    # frame normalization: "window" = per-training-window statistics (the
+    # reference behavior; generation approximates them with a centered
+    # slice), "dataset" = fixed per-channel statistics computed over the
+    # whole dataset at Chassis init and persisted in the checkpointed
+    # config — train and generation then normalize IDENTICALLY.
+    norm: str = "window"
+    stats_mean: Tuple[float, ...] = ()   # per-channel, len 3*n_mfcc
+    stats_var: Tuple[float, ...] = ()
 
     @property
     def n_out_channels(self) -> int:
@@ -174,3 +183,34 @@ def mfcc_delta_stack(wav: jax.Array, cfg: SpecConfig) -> jax.Array:
         [mf[..., 2 * w : mf.shape[-1] - 2 * w], d1[..., w : d1.shape[-1] - w], d2],
         axis=-2,
     )
+
+
+# ------------------------------------------------------------- numpy twin
+
+def mfcc_delta_stack_np(wav: np.ndarray, cfg: SpecConfig) -> np.ndarray:
+    """Numpy twin of :func:`mfcc_delta_stack` (same matrices, same trims).
+
+    Used for host-side work with per-clip dynamic shapes (dataset-level
+    statistics at preprocess time) where jit would recompile per length."""
+    t = wav.shape[-1]
+    f = (t - cfg.win_sz) // cfg.hop_sz + 1
+    idx = np.arange(f)[:, None] * cfg.hop_sz + np.arange(cfg.win_sz)[None, :]
+    frames = wav[..., idx] * np.hanning(cfg.win_sz + 1)[:-1].astype(np.float32)
+    cosm, sinm = _dft_matrices(cfg.win_sz, cfg.n_fft)
+    power = (frames @ cosm) ** 2 + (frames @ sinm) ** 2
+    mel = power @ mel_filterbank(cfg).T
+    logmel = np.log(np.maximum(mel, 1e-10))
+    mf = np.swapaxes(logmel @ dct_matrix(cfg.n_mfcc, cfg.n_mels).T, -1, -2)
+    w = cfg.delta_wing
+    k = delta_kernel(w)
+
+    def delta(x):
+        return sum(k[i] * x[..., i : x.shape[-1] - 2 * w + i]
+                   for i in range(2 * w + 1))
+
+    d1 = delta(mf)
+    d2 = delta(d1)
+    return np.concatenate(
+        [mf[..., 2 * w : mf.shape[-1] - 2 * w],
+         d1[..., w : d1.shape[-1] - w], d2], axis=-2,
+    ).astype(np.float32)

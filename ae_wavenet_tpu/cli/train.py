@@ -107,6 +107,12 @@ def build_parser() -> argparse.ArgumentParser:
                      help="every k-th clip is held out for evaluate()")
     new.add_argument("--seed", type=int, default=None)
     new.add_argument("--compute-dtype", choices=["float32", "bfloat16"], default=None)
+    new.add_argument("--frame-norm", choices=["window", "dataset"], default=None,
+                     help="MFCC normalization: per-window stats (reference "
+                          "behavior) or fixed dataset stats (train==gen)")
+    new.add_argument("--pallas-stack", action="store_true", default=None,
+                     help="fused Pallas gated-conv training stack (TPU, "
+                          "bf16; BASELINE.md head-to-head)")
 
     res = sub.add_parser("resume", help="resume from the latest checkpoint")
     _add_runtime_flags(res)
@@ -121,6 +127,11 @@ def build_parser() -> argparse.ArgumentParser:
 def config_from_args(a) -> config_mod.RunConfig:
     cfg = config_mod.PRESETS[a.preset]()
     wn, bn, tr, enc = cfg.wavenet, cfg.bottleneck, cfg.train, cfg.encoder
+    if a.frame_norm is not None:
+        cfg = dataclasses.replace(
+            cfg, spec=dataclasses.replace(cfg.spec, norm=a.frame_norm))
+    if a.pallas_stack:
+        wn = dataclasses.replace(wn, use_pallas_stack=True)
 
     def over(dc, **kv):
         kv = {k: v for k, v in kv.items() if v is not None}

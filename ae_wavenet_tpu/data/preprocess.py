@@ -174,3 +174,38 @@ def make_synthetic_dataset(
     with open(out_prefix + ".json", "w") as f:
         json.dump(index, f)
     return index
+
+
+def dataset_frame_stats(prefix: str, spec_cfg) -> tuple:
+    """Per-channel mean/variance of the 39-ch MFCC stack over the whole
+    packed dataset (host-side, numpy).  Backs ``SpecConfig.norm="dataset"``:
+    fixed statistics shared by training and generation, removing the
+    train/gen window-statistics mismatch of ``norm="window"``.
+
+    Returns (mean, var) as float tuples of length 3*n_mfcc."""
+    from ae_wavenet_tpu.audio.mfcc import mfcc_delta_stack_np
+    from ae_wavenet_tpu.geometry.vconv import Range
+
+    with open(prefix + ".json") as f:
+        index = json.load(f)
+    dat = np.memmap(prefix + ".dat", dtype="<i2", mode="r")
+    n_ch = 3 * spec_cfg.n_mfcc
+    s1 = np.zeros(n_ch, np.float64)
+    s2 = np.zeros(n_ch, np.float64)
+    count = 0
+    min_len = len(spec_cfg.geometry().in_range(Range(0, 1)))
+    for clip in index["clips"]:
+        x = dat[clip["offset"] : clip["offset"] + clip["length"]]
+        if len(x) < min_len:
+            continue
+        frames = mfcc_delta_stack_np(
+            x.astype(np.float32) * (1.0 / 32768.0), spec_cfg
+        )  # [n_ch, F]
+        s1 += frames.sum(axis=-1)
+        s2 += (frames.astype(np.float64) ** 2).sum(axis=-1)
+        count += frames.shape[-1]
+    if count == 0:
+        raise ValueError(f"no clip under {prefix} is long enough for stats")
+    mean = s1 / count
+    var = np.maximum(s2 / count - mean**2, 1e-12)
+    return tuple(float(v) for v in mean), tuple(float(v) for v in var)

@@ -80,7 +80,7 @@ def forward(
     # --- fused on-device frontend (frame lattice matches the plan because
     # fb is hop-aligned; the stack output is exactly the encoder's input)
     frames = mfcc_mod.mfcc_delta_stack(wav[..., spec.fb : spec.fe], cfg.spec)
-    frames = normalize_frames(frames)
+    frames = normalize_frames(frames, spec=cfg.spec)
 
     # --- encoder + bottleneck
     z = encoder.apply(params["encoder"], cfg.encoder, frames, dtype=dtype)
@@ -121,9 +121,10 @@ def encode(
     wav = int16_to_float(wav_i16)
     frames = mfcc_mod.mfcc_delta_stack(wav, cfg.spec)
     # statistics over a train-window-length slice so the conditioning
-    # distribution matches training (see common.normalize_frames)
+    # distribution matches training (see common.normalize_frames); with
+    # spec.norm="dataset" the fixed stats make train/gen identical
     spec = make_window_spec(cfg)
-    frames = normalize_frames(frames, n_ref=spec.n_frames)
+    frames = normalize_frames(frames, n_ref=spec.n_frames, spec=cfg.spec)
     z = encoder.apply(params["encoder"], cfg.encoder, frames)
     zq, _, _ = bottlenecks.apply(
         params["bottleneck"], bn_state, cfg.bottleneck, z, rng,

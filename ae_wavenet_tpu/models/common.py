@@ -106,15 +106,31 @@ def reconstruct(encode_fn, params: dict, bn_state: dict, cfg: RunConfig,
     return out, c_off + rf + 1
 
 
-def normalize_frames(frames: jax.Array, n_ref: int | None = None) -> jax.Array:
-    """Per-(window|utterance) mean/var normalization of the MFCC stack.
+def normalize_frames(frames: jax.Array, n_ref: int | None = None,
+                     spec=None) -> jax.Array:
+    """Normalization of the MFCC stack, per ``spec.norm``:
 
-    Training normalizes over the window's frames.  Generation processes
-    whole utterances, which would see different statistics than training
-    did; passing ``n_ref`` (the training window's frame count) computes the
-    statistics over a CENTERED n_ref-frame slice so the conditioning
-    distribution matches training up to signal non-stationarity.
+    * ``"window"`` (default / reference behavior): per-window mean/var over
+      the window's frames.  Generation processes whole utterances, which
+      would see different statistics than training did; passing ``n_ref``
+      (the training window's frame count) computes the statistics over a
+      CENTERED n_ref-frame slice so the conditioning distribution matches
+      training up to signal non-stationarity.
+    * ``"dataset"``: fixed per-channel statistics baked into the config
+      (computed once over the dataset at Chassis init, persisted in the
+      checkpoint) — train and generation normalize IDENTICALLY, removing
+      the mismatch entirely.
     """
+    if spec is not None and spec.norm == "dataset":
+        if not spec.stats_mean:
+            raise ValueError(
+                'spec.norm="dataset" but stats_mean/stats_var are unset '
+                "(Chassis computes them at init; generation reads them "
+                "from the checkpointed config)"
+            )
+        mean = jnp.asarray(spec.stats_mean, jnp.float32)[:, None]
+        var = jnp.asarray(spec.stats_var, jnp.float32)[:, None]
+        return (frames - mean) * jax.lax.rsqrt(var + 1e-6)
     t = frames.shape[-1]
     if n_ref is not None and t > n_ref:
         b = (t - n_ref) // 2

@@ -44,7 +44,7 @@ def forward(params, bn_state, cfg: RunConfig, spec: WindowSpec,
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
     wav = int16_to_float(wav_i16)
     frames = mfcc_mod.mfcc_delta_stack(wav[..., spec.fb : spec.fe], cfg.spec)
-    frames = normalize_frames(frames)
+    frames = normalize_frames(frames, spec=cfg.spec)
     cond = wavenet.upsample_apply(
         params["wavenet"], cfg.wavenet, frames, spec.up_steps, dtype=dtype
     )
@@ -76,7 +76,7 @@ def encode(params: dict, bn_state: dict, cfg: RunConfig, wav_i16: jax.Array,
     wav = int16_to_float(wav_i16)
     frames = mfcc_mod.mfcc_delta_stack(wav, cfg.spec)
     spec = make_window_spec(cfg)
-    frames = normalize_frames(frames, n_ref=spec.n_frames)
+    frames = normalize_frames(frames, n_ref=spec.n_frames, spec=cfg.spec)
     up = wavenet.upsample_geometry(cfg.wavenet)
     steps = up.plan(Range(0, up.out_len(frames.shape[-1])))
     cond = wavenet.upsample_apply(params["wavenet"], cfg.wavenet, frames, steps)

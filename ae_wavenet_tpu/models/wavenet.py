@@ -171,6 +171,13 @@ def apply(
     t_in = x_ids.shape[-1]
     t_out = t_in - rf
 
+    if cfg.use_pallas_stack and dtype == jnp.bfloat16:
+        from ae_wavenet_tpu.ops import gated_pallas as gp
+
+        if (gp.supports_pallas_stack(cfg, t_in)
+                and jax.devices()[0].platform == "tpu"):
+            return gp.stack_apply(params, cfg, x_ids, cond, gc_ids)
+
     x = jnp.take(params["embed"], x_ids, axis=0)  # [B, T, n_res]
     # residual stream runs in the compute dtype: the [B, n_res, T] tensor is
     # read twice per layer, so bf16 halves the dominant HBM traffic

@@ -31,6 +31,7 @@ tests/test_fastgen_pallas.py.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import numpy as np
@@ -244,7 +245,7 @@ def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
     # layers with small dilations keep their ring buffers resident in VMEM
     # (loaded from the flat HBM state at t==0, written back at the last
     # step): removes 2 DMA issues/layer/step for nearly half the layers
-    VMEM_DIL_MAX = 8
+    VMEM_DIL_MAX = int(os.environ.get("FASTGEN_VMEM_DIL_MAX", "8"))
     small = [l for l in range(L) if dils[l] <= VMEM_DIL_MAX]
     loffs = {}
     _acc = 0

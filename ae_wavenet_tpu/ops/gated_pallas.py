@@ -12,28 +12,34 @@ ONE WHOLE LAYER per invocation:
     h   = tanh(y[:, :n_dil]) * sigmoid(y[:, n_dil:])   (VPU, in VMEM)
     out = h @ [W_res | W_skip] + b_out                 (one MXU GEMM)
     x'  = x_cur + out[:, :n_res]                       -> HBM (bf16)
-    skip += out[:, n_res:]                             -> HBM RMW (f32)
+    skip += out[:, n_res:]                             -> HBM (f32)
 
-so y and h never touch HBM, x is read once (halo-shared for both taps), and
+so y and h never touch HBM, x is read once (halo-shared by both taps), and
 the only f32 traffic is the skip accumulator.
+
+Frame layout (the key trick)
+----------------------------
+All per-layer lattices are RIGHT-ALIGNED in one fixed frame of P =
+round_up(t_in, tile) rows: layer i's valid rows occupy frame positions
+[P - Ty_i, P).  In frame coordinates the causal taps become
+
+    out[g] = x[g] + res(h[g]),   h[g] = gate(W_p x[g - dd] + W_c x[g] + ...)
+
+i.e. ``cur``, ``cond``, ``skip`` and the output all live at the SAME frame
+position g — so they can be plain BlockSpec-pipelined operands on identical
+tile-aligned blocks, every layer and every tile.  Only x needs a manual
+halo'd DMA ([g - dd, g + tile)), double-buffered across tiles.  Rows left of
+the valid region hold zeros/garbage that never mixes into valid rows (all
+ops are row-local) and is sliced off after the last layer.
 
 Layout: time-major [B, T, C] (channels on the 128-lane axis; C multiples of
 128 enforced by :func:`supports_pallas_stack`).  cond is pre-padded to a
-128-multiple channel count and pre-offset by the layer's cumulative left trim.
-
-Tiling: grid (B, NT) with RIGHT-ALIGNED time tiles — every layer's output
-lattice and the skip buffer share the right edge, so the skip row for output
-row j is always ``j + (len(skip_buf) - Ty)`` >= 0 (no negative-index edge).
-Only tile t=1 overlaps tile t=0's ragged head; its skip contribution is
-masked there (x' double-writes are bitwise idempotent).  Tile t+1's reads are
-prefetched during tile t's compute (double-buffered scratch).
+128-multiple channel count, pre-offset by construction.
 """
 
 from __future__ import annotations
 
 import functools
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +63,7 @@ def supports_pallas_stack(cfg: WaveNetConfig, t_in: int,
         and cfg.n_dil % 128 == 0
         and cfg.n_skp % 128 == 0
         and ty_last >= tile
+        and max(cfg.dilations) * (cfg.filter_sz - 1) <= 512
     )
 
 
@@ -82,152 +89,95 @@ def pack_stack_weights(params: dict, cfg: WaveNetConfig):
     return packed
 
 
-def _layer_kernel(*, tt: int, dd: int, ty: int, nt: int, n_res: int,
-                  n_dil: int, n_skp: int, n_cond_pad: int, c_off: int,
-                  d_skip: int):
-    """Build the kernel body for one layer's static geometry.
+def gated_layer_fused(x, cond, skip, w_in, b_in, w_out, b_out, *, dd: int,
+                      t_min: int, tile: int, interpret: bool = False):
+    """One fused gated layer on frame-aligned buffers.
 
-    ty: output rows; nt: time tiles; c_off: cond left offset; d_skip: row
-    offset of this layer's lattice inside the skip buffer."""
-    xin_w = 2 * n_res + n_cond_pad
-    ragged = nt * tt - ty  # head overlap of tile 0 into tile 1 (0 if tt | ty)
+    x    [B, LPAD + P, n_res] bf16 — residual stream, valid right-aligned
+    cond [B, P, ncp] bf16, skip [B, P, n_skp] f32 — frame-aligned
+    t_min: first tile (in frame tiles) overlapping this layer's valid rows.
+    Returns (x_new [B, LPAD + P, n_res], skip') — skip accumulated via alias.
+    """
+    bsz, lp, n_res = x.shape
+    p_len = cond.shape[1]
+    lpad = lp - p_len
+    n_dil = w_in.shape[-1] // 2
+    n_skp = skip.shape[-1]
+    n_cond_pad = cond.shape[-1]
+    tt = tile
+    nt = p_len // tt - t_min
+    dd_pad = _round_up(dd, 16)
+    lpad_blk = lpad // tt
+    assert lpad % tt == 0 and p_len % tt == 0 and dd_pad <= lpad
 
-    def t0_of(t):
-        # right-aligned tiles: only tile 0 is clamped/ragged
-        return jnp.maximum(0, ty - (nt - t) * tt)
-
-    def kernel(x_hbm, cond_hbm, w_in, b_in, w_out, b_out,
-               x_new_hbm, skip_hbm,
-               x_scr, cond_scr, skip_scr, xin_scr, xnew_scr, skip_out_scr,
-               rd_sems, wr_sems):
+    def kernel(x_hbm, cond_ref, skip_ref, w_in_ref, b_in_ref, w_out_ref,
+               b_out_ref, x_new_ref, skip_out_ref, x_scr, xin_scr, rd_sems):
         b = pl.program_id(0)
         t = pl.program_id(1)
-        t0 = t0_of(t)
 
-        def reads(bb, tile_t, slot):
-            tt0 = t0_of(tile_t)
-            return (
-                pltpu.make_async_copy(
-                    x_hbm.at[bb, pl.ds(tt0, tt + dd), :],
-                    x_scr.at[slot], rd_sems.at[slot, 0]),
-                pltpu.make_async_copy(
-                    cond_hbm.at[bb, pl.ds(c_off + tt0, tt), :],
-                    cond_scr.at[slot], rd_sems.at[slot, 1]),
-                pltpu.make_async_copy(
-                    skip_hbm.at[bb, pl.ds(d_skip + tt0, tt), :],
-                    skip_scr.at[slot], rd_sems.at[slot, 2]),
-            )
+        def rd_x(bb, tile_t, slot):
+            # frame rows [t0 - dd_pad, t0 + tt) -> buffer rows shifted by lpad
+            start = lpad - dd_pad + (t_min + tile_t) * tt
+            return pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(start, tt + dd_pad), :],
+                x_scr.at[slot], rd_sems.at[slot])
 
-        # tile 0 of each batch row issues its own reads (no predecessor)
         @pl.when(t == 0)
         def _():
-            for dma in reads(b, 0, 0):
-                dma.start()
+            rd_x(b, 0, 0).start()
 
-        # tile 1's skip range overlaps tile 0's write -> read it here, after
-        # tile 0's body (and its write-waits) have completed
-        @pl.when((t == 1) & (ragged > 0))
-        def _():
-            reads(b, 1, 1 % 2)[2].start()
-
-        # prefetch the next tile's reads; they overlap this tile's compute.
-        # (next tile's skip read overlaps this tile's not-yet-written skip
-        # range only in the t==0/t==1 ragged case, excluded above.)
         @pl.when(t + 1 < nt)
         def _():
-            nxt = reads(b, t + 1, (t + 1) % 2)
-            nxt[0].start()
-            nxt[1].start()
-            @pl.when((t + 1 != 1) | (ragged == 0))
-            def _():
-                nxt[2].start()
+            rd_x(b, t + 1, (t + 1) % 2).start()
 
         slot = jax.lax.rem(t, 2)
-        for dma in reads(b, t, slot):
-            dma.wait()
+        rd_x(b, t, slot).wait()
 
-        # pack [prev | cur | cond] -> one GEMM input tile
-        xin_scr[:, :n_res] = x_scr[slot, :tt, :]
-        xin_scr[:, n_res : 2 * n_res] = x_scr[slot, dd : dd + tt, :]
-        xin_scr[:, 2 * n_res :] = cond_scr[slot]
+        xin_scr[:, :n_res] = x_scr[slot, dd_pad - dd : dd_pad - dd + tt, :]
+        xin_scr[:, n_res : 2 * n_res] = x_scr[slot, dd_pad:, :]
+        xin_scr[:, 2 * n_res :] = cond_ref[0]
 
-        y = jnp.dot(xin_scr[:], w_in[:], preferred_element_type=jnp.float32)
-        y = y + b_in[:]
+        y = jnp.dot(xin_scr[:], w_in_ref[:],
+                    preferred_element_type=jnp.float32) + b_in_ref[:]
         h = (jnp.tanh(y[:, :n_dil]) * jax.nn.sigmoid(y[:, n_dil:])
              ).astype(jnp.bfloat16)
-        out = jnp.dot(h, w_out[:], preferred_element_type=jnp.float32)
-        out = out + b_out[:]
+        out = jnp.dot(h, w_out_ref[:],
+                      preferred_element_type=jnp.float32) + b_out_ref[:]
 
-        xnew_scr[:] = (x_scr[slot, dd : dd + tt, :]
-                       + out[:, :n_res].astype(jnp.bfloat16))
-        contrib = out[:, n_res:]
-        if ragged > 0:
-            # tile 1 re-computes tile 0's head rows; zero their skip add
-            rows = jax.lax.broadcasted_iota(jnp.int32, (tt, n_skp), 0)
-            contrib = jnp.where((t != 1) | (rows >= ragged), contrib, 0.0)
-        skip_out_scr[:] = skip_scr[slot] + contrib
+        x_new_ref[0] = x_scr[slot, dd_pad:, :] + out[:, :n_res].astype(
+            jnp.bfloat16)
+        skip_out_ref[0] = skip_ref[0] + out[:, n_res:]
 
-        wr_x = pltpu.make_async_copy(
-            xnew_scr, x_new_hbm.at[b, pl.ds(t0, tt), :], wr_sems.at[0])
-        wr_s = pltpu.make_async_copy(
-            skip_out_scr, skip_hbm.at[b, pl.ds(d_skip + t0, tt), :],
-            wr_sems.at[1])
-        wr_x.start()
-        wr_s.start()
-        # writes must land before the next body reads overlapping ranges
-        # (idempotent x' double-writes + the t==1 skip head case)
-        wr_x.wait()
-        wr_s.wait()
+    grid = (bsz, nt)
 
-    return kernel, xin_w
+    def spec(c, off=0, space=pltpu.VMEM):
+        return pl.BlockSpec((1, tt, c), lambda b, t, _o=off: (b, _o + t_min + t, 0),
+                            memory_space=space)
 
-
-def gated_layer_fused(x, cond, skip, w_in, b_in, w_out, b_out, *, dd: int,
-                      c_off: int, d_skip: int, tile: int = 1024,
-                      interpret: bool = False):
-    """One fused gated layer.  x [B, Tx, n_res] bf16, cond [B, Tc, ncp] bf16,
-    skip [B, Ts, n_skp] f32 (accumulated in place via aliasing).
-    Returns (x_new [B, Tx-dd, n_res] bf16, skip)."""
-    bsz, tx, n_res = x.shape
-    ty = tx - dd
-    n_cond_pad = cond.shape[-1]
-    two_dil = w_in.shape[-1]
-    n_dil = two_dil // 2
-    n_skp = skip.shape[-1]
-    tt = min(tile, ty)
-    nt = pl.cdiv(ty, tt)
-    kernel, xin_w = _layer_kernel(
-        tt=tt, dd=dd, ty=ty, nt=nt, n_res=n_res, n_dil=n_dil, n_skp=n_skp,
-        n_cond_pad=n_cond_pad, c_off=c_off, d_skip=d_skip,
-    )
     x_new, skip_new = pl.pallas_call(
         kernel,
-        grid=(bsz, nt),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),   # cond (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_in
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_in
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_out
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # b_out
+            pl.BlockSpec(memory_space=pltpu.ANY),        # x (manual halo DMA)
+            spec(n_cond_pad),                            # cond tile
+            spec(n_skp),                                 # skip tile (aliased)
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # w_in
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # b_in
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # w_out
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # b_out
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x_new
-            pl.BlockSpec(memory_space=pltpu.ANY),   # skip (aliased)
+            spec(n_res, off=lpad_blk),                   # x_new tile
+            spec(n_skp),                                 # skip out tile
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, ty, n_res), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bsz, lp, n_res), jnp.bfloat16),
             jax.ShapeDtypeStruct(skip.shape, jnp.float32),
         ],
-        input_output_aliases={2: 1},  # skip input -> skip output
+        input_output_aliases={2: 1},                     # skip in -> skip out
         scratch_shapes=[
-            pltpu.VMEM((2, tt + dd, n_res), jnp.bfloat16),   # x tiles
-            pltpu.VMEM((2, tt, n_cond_pad), jnp.bfloat16),   # cond tiles
-            pltpu.VMEM((2, tt, n_skp), jnp.float32),         # skip tiles
-            pltpu.VMEM((tt, xin_w), jnp.bfloat16),           # packed GEMM in
-            pltpu.VMEM((tt, n_res), jnp.bfloat16),           # x' staging
-            pltpu.VMEM((tt, n_skp), jnp.float32),            # skip staging
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, tt + dd_pad, n_res), jnp.bfloat16),
+            pltpu.VMEM((tt, 2 * n_res + n_cond_pad), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -250,9 +200,14 @@ def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
     bsz = x_ids.shape[0]
     n_cond = cfg.n_lc_out + cfg.n_global_embed
     n_cond_pad = _round_up(n_cond, 128)
+    tt = tile
+    p_len = _round_up(t_in, tt)
+    lpad = _round_up(512, tt)
 
-    # embedding straight into time-major layout (no [B,C,T] transpose)
-    x = jnp.take(params["embed"], x_ids, axis=0).astype(jnp.bfloat16)
+    # embedding straight into the right-aligned frame (no [B,C,T] transpose)
+    emb = jnp.take(params["embed"], x_ids, axis=0).astype(jnp.bfloat16)
+    x = jnp.zeros((bsz, lpad + p_len, cfg.n_res), jnp.bfloat16)
+    x = jax.lax.dynamic_update_slice(x, emb, (0, lpad + p_len - t_in, 0))
 
     if gc_ids is not None:
         g = jnp.take(params["gc_embed"], gc_ids, axis=0)
@@ -261,26 +216,18 @@ def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
         g = jnp.zeros((bsz, t_in, cfg.n_global_embed), cond.dtype)
     cond_tm = jnp.concatenate(
         [jnp.transpose(cond, (0, 2, 1)), g.astype(cond.dtype)], axis=-1
-    )
-    cond_tm = jnp.pad(cond_tm, ((0, 0), (0, 0), (0, n_cond_pad - n_cond)))
-    cond_tm = cond_tm.astype(jnp.bfloat16)
+    ).astype(jnp.bfloat16)
+    cond_buf = jnp.zeros((bsz, p_len, n_cond_pad), jnp.bfloat16)
+    cond_buf = jax.lax.dynamic_update_slice(
+        cond_buf, cond_tm, (0, p_len - t_in, 0))
 
-    dils = [d * (cfg.filter_sz - 1) for d in cfg.dilations]
-    ty1 = t_in - dils[0]
-    skip = jnp.zeros((bsz, ty1, cfg.n_skp), jnp.float32)
-    packed = pack_stack_weights(params, cfg)
-    c_off = 0
-    for i, dd in enumerate(dils):
-        c_off += dd
-        w_in, b_in, w_out, b_out = packed[i]
-        d_skip = c_off - dils[0]
-        x, skip = gated_layer_fused(
-            x, cond_tm, skip, w_in, b_in, w_out, b_out,
-            dd=dd, c_off=c_off, d_skip=d_skip, tile=tile,
-            interpret=interpret,
-        )
+    packed = tuple(pack_stack_weights(params, cfg))
+    dils = tuple(d * (cfg.filter_sz - 1) for d in cfg.dilations)
+    core = _stack_core(dils, t_in, cfg.n_skp, tt, interpret)
+    skip = core(x, cond_buf, packed)
 
-    skip_out = skip[:, ty1 - t_out :, :]
+    skip_out = jax.lax.dynamic_slice(
+        skip, (0, p_len - t_out, 0), (bsz, t_out, cfg.n_skp))
     h = jax.nn.relu(skip_out)
     dtype = jnp.bfloat16
 
@@ -292,3 +239,287 @@ def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
     h = jax.nn.relu(mm(params["post1"], h))
     logits = mm(params["post2"], h)
     return jnp.transpose(logits, (0, 2, 1))
+
+
+# ===================================================================== bwd
+
+def gated_layer_bwd(x, cond, gxcur, gxprev, gskip, gcond, w_in, w_out, *,
+                    dd: int, prev_dd: int, t_min: int, valid_lo: int,
+                    cur_valid_lo: int, tile: int, interpret: bool = False):
+    """Fused backward of one gated layer.
+
+    Inputs (frame-aligned, see module docstring):
+      x      [B, LPAD+P, n_res] bf16 — this layer's saved INPUT stream
+      cond   [B, P, ncp] bf16
+      gxcur  [B, LPAD+P, n_res] bf16 — d/d(x_new)[g], identity+cur parts
+      gxprev [B, LPAD+P+RPAD, n_res] bf16 — d/d(x_new)[g-dd_next] stored at g
+              (the NEXT layer's prev-tap contribution; junk above P masked)
+      gskip  [B, P, n_skp] bf16 — d/d(skip buffer) (constant across layers)
+      gcond  [B, P, ncp] f32 — accumulated d/d(cond), aliased in/out
+      dd: this layer's dilation step; prev_dd: the NEXT layer's dd (shift at
+      which gxprev must be read); valid_lo: first valid OUTPUT frame row
+      (P - Ty); t_min: first tile touching valid rows.
+
+    Returns (gxcur' [B,LPAD+P,n_res], gxprev' [B,LPAD+P+RPAD,n_res],
+             gcond', dw_in [XIN,2*n_dil] f32, db_in [1,2*n_dil] f32,
+             dw_out [n_dil,n_res+n_skp] f32, db_out [1,...] f32).
+    """
+    bsz, lp, n_res = x.shape
+    p_len = cond.shape[1]
+    lpad = lp - p_len
+    rpad = gxprev.shape[1] - lp
+    n_cond_pad = cond.shape[-1]
+    n_dil = w_in.shape[-1] // 2
+    n_skp = gskip.shape[-1]
+    xin_w = 2 * n_res + n_cond_pad
+    tt = tile
+    nt = p_len // tt - t_min
+    dd_pad = _round_up(dd, 16)
+    pdd_pad = _round_up(prev_dd, 16) if prev_dd else 0
+    lpad_blk = lpad // tt
+    assert lpad % tt == 0 and dd_pad <= lpad and pdd_pad <= rpad
+
+    def kernel(x_hbm, gxp_hbm, cond_ref, gxc_ref, gsk_ref, gcond_ref,
+               w_in_ref, w_out_ref,
+               gxc_out_ref, gxp_out_ref, gcond_out_ref,
+               dw_in_ref, db_in_ref, dw_out_ref, db_out_ref,
+               x_scr, gxp_scr, xin_scr, rd_sems):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        is_first = (b == 0) & (t == 0)
+
+        def rd_x(bb, tile_t, slot):
+            start = lpad - dd_pad + (t_min + tile_t) * tt
+            return pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(start, tt + dd_pad), :],
+                x_scr.at[slot], rd_sems.at[slot, 0])
+
+        def rd_gxp(bb, tile_t, slot):
+            # gx'[g] needs gxprev[g + prev_dd]: right halo, 16-aligned start
+            start = lpad + (t_min + tile_t) * tt
+            return pltpu.make_async_copy(
+                gxp_hbm.at[bb, pl.ds(start, tt + pdd_pad), :],
+                gxp_scr.at[slot], rd_sems.at[slot, 1])
+
+        @pl.when(t == 0)
+        def _():
+            rd_x(b, 0, 0).start()
+            rd_gxp(b, 0, 0).start()
+
+        @pl.when(t + 1 < nt)
+        def _():
+            rd_x(b, t + 1, (t + 1) % 2).start()
+            rd_gxp(b, t + 1, (t + 1) % 2).start()
+
+        slot = jax.lax.rem(t, 2)
+        rd_x(b, t, slot).wait()
+        rd_gxp(b, t, slot).wait()
+
+        t0 = (t_min + t) * tt
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0) + t0
+
+        # ---- recompute xin -> gate activations (garbage rows -> zero xin)
+        xin_scr[:, :n_res] = x_scr[slot, dd_pad - dd : dd_pad - dd + tt, :]
+        xin_scr[:, n_res : 2 * n_res] = x_scr[slot, dd_pad:, :]
+        xin_scr[:, 2 * n_res :] = cond_ref[0]
+        valid = rows >= valid_lo  # [tt, 1]
+        xin = jnp.where(valid, xin_scr[:], 0).astype(jnp.bfloat16)
+        y = jnp.dot(xin, w_in_ref[:], preferred_element_type=jnp.float32)
+        tf = jnp.tanh(y[:, :n_dil])
+        sg = jax.nn.sigmoid(y[:, n_dil:])
+        h = (tf * sg).astype(jnp.bfloat16)
+
+        # ---- upstream cotangent of x_new[g]: identity+cur + shifted prev,
+        # plus d(skip)[g]; all masked to valid rows.
+        # gxcur was written by the NEXT layer's bwd only from ITS lattice
+        # (cur_valid_lo); below that its true value is 0 and the buffer may
+        # hold unwritten junk -> mask at the producer's boundary.
+        gxn = jnp.where(rows >= cur_valid_lo,
+                        gxc_ref[0].astype(jnp.float32), 0.0)
+        if prev_dd:
+            gprev_hi = gxp_scr[slot, prev_dd : prev_dd + tt, :]
+            # rows g with g + prev_dd >= P read junk above the frame: zero
+            ok = rows + prev_dd < p_len
+            gxn = gxn + jnp.where(ok, gprev_hi.astype(jnp.float32), 0.0)
+        gxn = jnp.where(valid, gxn, 0.0)
+        gsk = jnp.where(valid, gsk_ref[0].astype(jnp.float32), 0.0)
+        g_out = jnp.concatenate([gxn, gsk], axis=-1).astype(jnp.bfloat16)
+
+        # ---- backward through the two GEMMs + gate
+        g_h = jnp.dot(g_out, w_out_ref[:].T,
+                      preferred_element_type=jnp.float32)
+        g_f = g_h * sg * (1.0 - tf * tf)
+        g_g = g_h * tf * sg * (1.0 - sg)
+        g_y = jnp.concatenate([g_f, g_g], axis=-1).astype(jnp.bfloat16)
+        g_xin = jnp.dot(g_y, w_in_ref[:].T,
+                        preferred_element_type=jnp.float32)
+
+        # ---- weight/bias grads: accumulate across all grid cells
+        @pl.when(is_first)
+        def _():
+            dw_in_ref[:] = jnp.zeros_like(dw_in_ref)
+            db_in_ref[:] = jnp.zeros_like(db_in_ref)
+            dw_out_ref[:] = jnp.zeros_like(dw_out_ref)
+            db_out_ref[:] = jnp.zeros_like(db_out_ref)
+
+        dw_in_ref[:] += jnp.dot(xin.T, g_y,
+                                preferred_element_type=jnp.float32)
+        db_in_ref[:] += jnp.sum(g_y.astype(jnp.float32), axis=0,
+                                keepdims=True)
+        dw_out_ref[:] += jnp.dot(h.T, g_out,
+                                 preferred_element_type=jnp.float32)
+        db_out_ref[:] += jnp.sum(g_out.astype(jnp.float32), axis=0,
+                                 keepdims=True)
+
+        # ---- downstream cotangents
+        # identity path + cur tap -> gxcur' at row g
+        gxc_out_ref[0] = (gxn + g_xin[:, n_res : 2 * n_res]
+                          ).astype(jnp.bfloat16)
+        # prev tap contribution to row g - dd, stored at row g
+        gxp_out_ref[0] = g_xin[:, :n_res].astype(jnp.bfloat16)
+        gcond_out_ref[0] = gcond_ref[0] + g_xin[:, 2 * n_res :]
+
+    def spec(c, off=0):
+        return pl.BlockSpec((1, tt, c),
+                            lambda b, t, _o=off: (b, _o + t_min + t, 0),
+                            memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x (manual halo DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # gxprev (manual halo)
+            spec(n_cond_pad),                        # cond tile
+            spec(n_res, off=lpad_blk),               # gxcur tile
+            spec(n_skp),                             # gskip tile
+            spec(n_cond_pad),                        # gcond tile (aliased)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w_in
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # w_out
+        ],
+        out_specs=[
+            spec(n_res, off=lpad_blk),               # gxcur'
+            spec(n_res, off=lpad_blk),               # gxprev'
+            spec(n_cond_pad),                        # gcond'
+            wspec((xin_w, 2 * n_dil)),               # dw_in (accumulated)
+            wspec((1, 2 * n_dil)),                   # db_in
+            wspec((n_dil, n_res + n_skp)),           # dw_out
+            wspec((1, n_res + n_skp)),               # db_out
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, lp, n_res), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bsz, lp + rpad, n_res), jnp.bfloat16),
+            jax.ShapeDtypeStruct(gcond.shape, jnp.float32),
+            jax.ShapeDtypeStruct((xin_w, 2 * n_dil), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * n_dil), jnp.float32),
+            jax.ShapeDtypeStruct((n_dil, n_res + n_skp), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_res + n_skp), jnp.float32),
+        ],
+        input_output_aliases={5: 2},                 # gcond in -> out
+        scratch_shapes=[
+            pltpu.VMEM((2, tt + dd_pad, n_res), jnp.bfloat16),
+            pltpu.VMEM((2, tt + pdd_pad, n_res), jnp.bfloat16),
+            pltpu.VMEM((tt, xin_w), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        # the recompute + cotangent streams + f32 dW accumulators exceed the
+        # conservative 16M default scoped-vmem budget; v5e has 128M physical
+        compiler_params=pltpu.CompilerParams(has_side_effects=True,
+                                             vmem_limit_bytes=64 * 2**20),
+        interpret=interpret,
+    )(x, gxprev, cond, gxcur, gskip, gcond, w_in, w_out)
+    return outs
+
+
+@functools.lru_cache(maxsize=64)
+def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
+                interpret: bool):
+    """custom_vjp'd fused stack: (x0, cond_buf, packed_weights) -> skip_buf.
+
+    Forward runs the fused layers; backward runs :func:`gated_layer_bwd` in
+    reverse, saving each layer's input residual stream as residuals (L x
+    [B, LPAD+P, n_res] bf16 — the memory/recompute trade chosen because the
+    stream is the cheapest complete residual from which gates can be
+    recomputed in-kernel)."""
+    tt = tile
+    p_len = _round_up(t_in, tt)
+    rpad = _round_up(512, tt)
+    # the bwd kernel holds ~2x the fwd's live buffers (recompute + cotangent
+    # streams + f32 dW accumulators); a half tile keeps it under the ~16 MB
+    # VMEM budget at flagship dims.  p_len/lpad/rpad stay fwd-tile-aligned
+    # and remain divisible by the bwd tile.
+    tt_bwd = max(tt // 2, 256) if tt >= 512 else tt
+
+    def layer_geo(i, tsz=tt):
+        ty = t_in - sum(dils[: i + 1])
+        t_min = (p_len - ty) // tsz
+        return ty, t_min
+
+    def run_fwd(x, cond_buf, packed, save):
+        bsz = x.shape[0]
+        skip = jnp.zeros((bsz, p_len, n_skp), jnp.float32)
+        xs = []
+        for i, dd in enumerate(dils):
+            if save:
+                xs.append(x)
+            _ty, t_min = layer_geo(i)
+            w_in, b_in, w_out, b_out = packed[i]
+            x, skip = gated_layer_fused(
+                x, cond_buf, skip, w_in, b_in, w_out, b_out,
+                dd=dd, t_min=t_min, tile=tt, interpret=interpret,
+            )
+        return skip, tuple(xs)
+
+    @jax.custom_vjp
+    def core(x0, cond_buf, packed):
+        skip, _ = run_fwd(x0, cond_buf, packed, save=False)
+        return skip
+
+    def core_fwd(x0, cond_buf, packed):
+        skip, xs = run_fwd(x0, cond_buf, packed, save=True)
+        return skip, (xs, cond_buf, packed)
+
+    def core_bwd(res, g_skip):
+        xs, cond_buf, packed = res
+        bsz, lp, n_res = xs[0].shape
+        ncp = cond_buf.shape[-1]
+        gskip = g_skip.astype(jnp.bfloat16)
+        gxcur = jnp.zeros((bsz, lp, n_res), jnp.bfloat16)  # x_L unused
+        gxprev = jnp.zeros((bsz, lp + rpad, n_res), jnp.bfloat16)
+        gcond = jnp.zeros((bsz, p_len, ncp), jnp.float32)
+        dpacked = [None] * len(dils)
+        for i in reversed(range(len(dils))):
+            dd = dils[i]
+            prev_dd = dils[i + 1] if i + 1 < len(dils) else 0
+            ty, t_min = layer_geo(i, tt_bwd)
+            # gxcur's producer is layer i+1's bwd, defined on ITS out lattice
+            cur_valid_lo = (p_len - layer_geo(i + 1)[0]
+                            if i + 1 < len(dils) else p_len)
+            w_in, _b_in, w_out, _b_out = packed[i]
+            gxcur, gxprev, gcond, dwi, dbi, dwo, dbo = gated_layer_bwd(
+                xs[i], cond_buf, gxcur, gxprev, gskip, gcond, w_in, w_out,
+                dd=dd, prev_dd=prev_dd, t_min=t_min,
+                valid_lo=p_len - ty, cur_valid_lo=cur_valid_lo,
+                tile=tt_bwd, interpret=interpret,
+            )
+            dpacked[i] = (dwi.astype(jnp.bfloat16), dbi.astype(jnp.float32),
+                          dwo.astype(jnp.bfloat16), dbo.astype(jnp.float32))
+        # fold the first layer's prev-tap grads into the x0 cotangent.
+        # Rows outside each buffer's written/defined region are junk and are
+        # masked to their true value (zero): gxcur below the first layer's
+        # output lattice, gxprev beyond the frame or below the lattice.
+        d0 = dils[0]
+        lpad = lp - p_len
+        vl = lpad + p_len - (t_in - d0)   # first out-lattice row of layer 0
+        shifted = jax.lax.dynamic_slice_in_dim(gxprev, d0, lp, axis=1)
+        row = jnp.arange(lp)[None, :, None]
+        g_x0 = (jnp.where(row >= vl, gxcur, 0)
+                + jnp.where((row >= vl - d0) & (row + d0 < lp), shifted, 0))
+        return g_x0, gcond.astype(cond_buf.dtype), tuple(dpacked)
+
+    core.defvjp(core_fwd, core_bwd)
+    return core

@@ -122,6 +122,18 @@ class Chassis:
         self.model = registry.get(cfg.model_kind)
         self.spec = self.model.make_window_spec(cfg)
         self.dataset = PackedDataset(data_prefix)
+        if cfg.spec.norm == "dataset" and not cfg.spec.stats_mean:
+            # compute fixed frame statistics once and bake them into the
+            # config (serialized into every checkpoint, so resume and
+            # generation normalize identically — models/common.py)
+            import dataclasses
+
+            from ae_wavenet_tpu.data.preprocess import dataset_frame_stats
+            mean, var = dataset_frame_stats(data_prefix, cfg.spec)
+            cfg = dataclasses.replace(
+                cfg, spec=dataclasses.replace(cfg.spec, stats_mean=mean,
+                                              stats_var=var))
+            self.cfg = cfg
         if self.dataset.n_speakers > cfg.wavenet.n_speakers:
             raise ValueError(
                 f"dataset has {self.dataset.n_speakers} speakers but "

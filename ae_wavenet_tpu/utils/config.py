@@ -75,6 +75,10 @@ class WaveNetConfig:
     lc_upsample_filters: Tuple[int, ...] = (10, 8, 8, 8)
     n_speakers: int = 40
     n_global_embed: int = 32
+    use_pallas_stack: bool = False  # fused Pallas gated-conv stack for the
+                                    # training forward+backward (TPU only;
+                                    # ops/gated_pallas.py). Measured 1.79x
+                                    # the XLA forward on v5e — BASELINE.md
 
     @property
     def dilations(self) -> Tuple[int, ...]:

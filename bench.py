@@ -52,6 +52,12 @@ def main() -> int:
         bottleneck=BottleneckConfig(kind="vq"),
         train=TrainConfig(batch_sz=batch_sz, n_win=n_win),
     )
+    if os.environ.get("BENCH_PALLAS_STACK", "1") == "1":
+        # fused Pallas gated-conv stack (ops/gated_pallas.py): measured
+        # faster than the XLA formulation on v5e — BASELINE.md head-to-head
+        cfg = dataclasses.replace(
+            cfg, wavenet=dataclasses.replace(cfg.wavenet,
+                                             use_pallas_stack=True))
     spec = ae.make_window_spec(cfg)
 
     with tempfile.TemporaryDirectory() as td:

@@ -73,22 +73,26 @@ def main() -> int:
     # fused Pallas path (TPU only)
     from ae_wavenet_tpu.ops import fastgen_pallas as fp
 
+    quantized = os.environ.get("GEN_INT8", "0") == "1"
     if jax.devices()[0].platform == "tpu" and fp.supports_fused(cfg, batch):
         ids, _ = fp.generate_auto(params, cfg, state, cond,
-                                  jax.random.PRNGKey(3), gc_ids=spk)
+                                  jax.random.PRNGKey(3), gc_ids=spk,
+                                  quantized=quantized)
         jax.block_until_ready(ids)
         dt = 1e30
         for r in range(3):
             t0 = time.perf_counter()
             ids, _ = fp.generate_auto(params, cfg, state, cond,
-                                      jax.random.PRNGKey(4 + r), gc_ids=spk)
+                                      jax.random.PRNGKey(4 + r), gc_ids=spk,
+                                      quantized=quantized)
             jax.block_until_ready(ids)
             dt = min(dt, time.perf_counter() - t0)
         sps = t_gen / dt
         print(json.dumps({
-            "path": "pallas_fused",
+            "path": "pallas_fused" + ("_int8" if quantized else ""),
             "batch": batch,
             "gen_steps": t_gen,
+            "vmem_dil_max": os.environ.get("FASTGEN_VMEM_DIL_MAX", "8"),
             "wall_s": round(dt, 3),
             "samples_per_sec_per_stream": round(sps, 1),
             "rtf_16k": round(sps / 16000.0, 3),

@@ -1,0 +1,98 @@
+"""Fused gated-residual-conv training-forward kernel vs the XLA stack
+(ops/gated_pallas.py; SURVEY.md §2.0 row 1, §7 step 10), interpret mode.
+
+The compiled-Mosaic equivalent runs in tests_tpu/test_pallas_tpu.py."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ae_wavenet_tpu.models import wavenet
+from ae_wavenet_tpu.ops import gated_pallas as gp
+from ae_wavenet_tpu.utils.config import WaveNetConfig
+
+CFG = WaveNetConfig(n_blocks=2, n_block_layers=4, n_res=128, n_dil=128,
+                    n_skp=128, n_post=128, n_quant=256, n_lc_in=16,
+                    n_lc_out=64, n_speakers=8, n_global_embed=16)
+RF = wavenet.receptive_field(CFG)
+
+
+def _inputs(t_out, batch=2, seed=0):
+    t_in = t_out + RF
+    params = wavenet.init(jax.random.PRNGKey(seed), CFG)
+    x_ids = jax.random.randint(jax.random.PRNGKey(seed + 1), (batch, t_in),
+                               0, CFG.n_quant)
+    cond = jax.random.normal(jax.random.PRNGKey(seed + 2),
+                             (batch, CFG.n_lc_out, t_in)) * 0.5
+    spk = jax.random.randint(jax.random.PRNGKey(seed + 3), (batch,), 0,
+                             CFG.n_speakers)
+    return params, x_ids, cond, spk
+
+
+@pytest.mark.parametrize("t_out,tile", [
+    (170, 64),   # ragged head tile (tile does not divide any layer length)
+    (128, 64),   # t_out a multiple of tile (lengths still vary per layer)
+    (70, 128),   # single tile per layer (tile > every layer length)
+])
+def test_stack_matches_xla(t_out, tile):
+    params, x_ids, cond, spk = _inputs(t_out)
+    ref = wavenet.apply(params, CFG, x_ids, cond, spk, dtype=jnp.bfloat16)
+    got = gp.stack_apply(params, CFG, x_ids, cond, spk, tile=tile,
+                         interpret=True)
+    assert got.shape == ref.shape
+    d = np.abs(np.asarray(ref, np.float32) - np.asarray(got, np.float32))
+    assert d.max() < 0.02, d.max()   # bf16 reduction-order tolerance
+
+
+def test_no_gc_path():
+    params, x_ids, cond, _ = _inputs(96)
+    ref = wavenet.apply(params, CFG, x_ids, cond, None, dtype=jnp.bfloat16)
+    got = gp.stack_apply(params, CFG, x_ids, cond, None, tile=64,
+                         interpret=True)
+    d = np.abs(np.asarray(ref, np.float32) - np.asarray(got, np.float32))
+    assert d.max() < 0.02, d.max()
+
+
+def test_supports_guard():
+    assert gp.supports_pallas_stack(WaveNetConfig(), 24000 + 2046)
+    assert not gp.supports_pallas_stack(WaveNetConfig(n_res=100), 26046)
+    assert not gp.supports_pallas_stack(WaveNetConfig(), 500)
+
+
+def test_stack_grads_match_xla():
+    """custom_vjp fused backward vs jax.grad of the XLA stack: the fused
+    path must sit within the same distance of the f32 reference as XLA's
+    own bf16 backward."""
+    params, x_ids, cond, spk = _inputs(170)
+    t_out = 170
+    probe = jax.random.normal(jax.random.PRNGKey(9),
+                              (x_ids.shape[0], CFG.n_quant, t_out))
+
+    def loss_f32(p, c):
+        out = wavenet.apply(p, CFG, x_ids, c, spk, dtype=jnp.float32)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    def loss_xla(p, c):
+        out = wavenet.apply(p, CFG, x_ids, c, spk, dtype=jnp.bfloat16)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    def loss_pal(p, c):
+        out = gp.stack_apply(p, CFG, x_ids, c, spk, tile=64, interpret=True)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    g32 = jax.grad(loss_f32, argnums=(0, 1))(params, cond)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(params, cond)
+    gpl = jax.grad(loss_pal, argnums=(0, 1))(params, cond)
+
+    def flat(t):
+        return np.concatenate(
+            [np.asarray(x, np.float32).ravel() for x in jax.tree.leaves(t)])
+
+    f32, fx, fp = flat(g32), flat(gx), flat(gpl)
+    assert np.isfinite(fp).all()
+    rms_xla = float(np.sqrt(((fx - f32) ** 2).mean()))
+    rms_pal = float(np.sqrt(((fp - f32) ** 2).mean()))
+    # measured: pallas 4.3e-7 vs xla-bf16 5.3e-7 (f32 in-kernel dW accum)
+    assert rms_pal < 3.0 * rms_xla + 1e-8, (rms_pal, rms_xla)
