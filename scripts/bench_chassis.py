@@ -32,18 +32,27 @@ def main():
     ap.add_argument("--n-win", type=int, default=24000)
     a = ap.parse_args()
 
+    warmup = 3
     cfg = RunConfig(
         bottleneck=BottleneckConfig(kind="vq"),
+        # one log window covering exactly the measured steps: log_every =
+        # warmup + steps so the only fetch (and pipeline drain) is the final
+        # one — a short trailing window would measure drained-pipeline steps
         train=TrainConfig(batch_sz=a.batch, n_win=a.n_win,
-                          log_every=a.steps, n_steps=a.steps + 3),
+                          log_every=a.steps + warmup, n_steps=a.steps + warmup),
     )
+    if os.environ.get("BENCH_PALLAS_STACK", "1") == "1":
+        cfg = dc.replace(cfg, wavenet=dc.replace(cfg.wavenet,
+                                                 use_pallas_stack=True))
     spec = ae.make_window_spec(cfg)
     with tempfile.TemporaryDirectory() as td:
         prefix = os.path.join(td, "synth")
         make_synthetic_dataset(prefix, n_clips=8, n_speakers=4,
                                clip_len=(spec.u_len + 1000, spec.u_len + 30000))
         ch = Chassis(cfg, prefix, log_stream=io.StringIO())
-        ch.train(3)          # compile + warm the loader
+        # train(warmup) compiles and its end-of-call fetch drains the pipe;
+        # the measuring train() then has exactly ONE log window = its steps
+        ch.train(warmup)
         hist = ch.train(a.steps)
         e2e = hist[-1]["samples_per_sec"]
     print(json.dumps({
