@@ -245,7 +245,9 @@ def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
     # layers with small dilations keep their ring buffers resident in VMEM
     # (loaded from the flat HBM state at t==0, written back at the last
     # step): removes 2 DMA issues/layer/step for nearly half the layers
-    VMEM_DIL_MAX = int(os.environ.get("FASTGEN_VMEM_DIL_MAX", "8"))
+    # rings with dilation <= this stay VMEM-resident (no per-step HBM DMA);
+    # 16 measured best on v5e (32 exceeds the VMEM budget) — BASELINE.md
+    VMEM_DIL_MAX = int(os.environ.get("FASTGEN_VMEM_DIL_MAX", "16"))
     small = [l for l in range(L) if dils[l] <= VMEM_DIL_MAX]
     loffs = {}
     _acc = 0

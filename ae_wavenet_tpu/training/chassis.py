@@ -69,6 +69,20 @@ def make_train_step(cfg: RunConfig, spec: ae.WindowSpec, optimizer, base_key,
     """
     loss_fn = ae.loss_fn if loss_fn is None else loss_fn
 
+    if mesh is not None and cfg.wavenet.use_pallas_stack:
+        # pallas_call does not auto-partition under a sharded mesh; until the
+        # fused stack is shard_map'd per data shard, DP runs use the XLA
+        # formulation (single-chip runs keep the fused kernels)
+        import dataclasses
+        import warnings
+
+        warnings.warn(
+            "use_pallas_stack is single-chip for now; falling back to the "
+            "XLA stack under the data-parallel mesh", stacklevel=2)
+        cfg = dataclasses.replace(
+            cfg, wavenet=dataclasses.replace(cfg.wavenet,
+                                             use_pallas_stack=False))
+
     def step_fn(params, opt_state, bn_state, wav, spk, step):
         rng = jax.random.fold_in(base_key, step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

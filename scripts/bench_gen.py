@@ -37,38 +37,40 @@ def main() -> int:
     spk = jnp.asarray(rng.integers(0, cfg.n_speakers, (batch,)), jnp.int32)
     state = fastgen.init_state(cfg, batch)
 
-    # compile + warmup with the SAME shape (a different length would leave a
-    # recompile inside the timed region)
-    t0 = time.perf_counter()
-    ids, _ = fastgen.generate(
-        params, cfg, state, cond, jax.random.PRNGKey(1), gc_ids=spk, dtype=dtype
-    )
-    jax.block_until_ready(ids)
-    compile_s = time.perf_counter() - t0
-
-    dt = 1e30
-    for r in range(3):
+    if os.environ.get("GEN_SKIP_SCAN", "0") != "1":
+        # compile + warmup with the SAME shape (a different length would
+        # leave a recompile inside the timed region)
         t0 = time.perf_counter()
         ids, _ = fastgen.generate(
-            params, cfg, state, cond, jax.random.PRNGKey(2 + r), gc_ids=spk,
+            params, cfg, state, cond, jax.random.PRNGKey(1), gc_ids=spk,
             dtype=dtype,
         )
         jax.block_until_ready(ids)
-        dt = min(dt, time.perf_counter() - t0)
+        compile_s = time.perf_counter() - t0
 
-    sps = t_gen / dt  # sequential samples/sec per stream
-    print(json.dumps({
-        "path": "xla_scan",
-        "platform": jax.devices()[0].platform,
-        "batch": batch,
-        "dtype": str(dtype.__name__),
-        "gen_steps": t_gen,
-        "wall_s": round(dt, 3),
-        "samples_per_sec_per_stream": round(sps, 1),
-        "rtf_16k": round(sps / 16000.0, 3),
-        "aggregate_samples_per_sec": round(sps * batch, 1),
-        "compile_s": round(compile_s, 1),
-    }), flush=True)
+        dt = 1e30
+        for r in range(3):
+            t0 = time.perf_counter()
+            ids, _ = fastgen.generate(
+                params, cfg, state, cond, jax.random.PRNGKey(2 + r),
+                gc_ids=spk, dtype=dtype,
+            )
+            jax.block_until_ready(ids)
+            dt = min(dt, time.perf_counter() - t0)
+
+        sps = t_gen / dt  # sequential samples/sec per stream
+        print(json.dumps({
+            "path": "xla_scan",
+            "platform": jax.devices()[0].platform,
+            "batch": batch,
+            "dtype": str(dtype.__name__),
+            "gen_steps": t_gen,
+            "wall_s": round(dt, 3),
+            "samples_per_sec_per_stream": round(sps, 1),
+            "rtf_16k": round(sps / 16000.0, 3),
+            "aggregate_samples_per_sec": round(sps * batch, 1),
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
 
     # fused Pallas path (TPU only)
     from ae_wavenet_tpu.ops import fastgen_pallas as fp

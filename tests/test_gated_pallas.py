@@ -96,3 +96,23 @@ def test_stack_grads_match_xla():
     rms_pal = float(np.sqrt(((fp - f32) ** 2).mean()))
     # measured: pallas 4.3e-7 vs xla-bf16 5.3e-7 (f32 in-kernel dW accum)
     assert rms_pal < 3.0 * rms_xla + 1e-8, (rms_pal, rms_xla)
+
+
+def test_mesh_falls_back_to_xla(recwarn):
+    """pallas_call does not auto-partition under a sharded mesh: the chassis
+    must warn and route DP steps through the XLA stack."""
+    import warnings
+    from ae_wavenet_tpu.parallel import mesh as mesh_mod
+    from ae_wavenet_tpu.training.chassis import make_optimizer, make_train_step
+    from ae_wavenet_tpu.utils.config import RunConfig, tiny_config
+    import dataclasses as dc
+
+    cfg = tiny_config()
+    cfg = dc.replace(cfg, wavenet=dc.replace(cfg.wavenet,
+                                             use_pallas_stack=True))
+    mesh = mesh_mod.make_mesh(jax.devices()[:2])
+    from ae_wavenet_tpu.models import autoencoder as ae
+    spec = ae.make_window_spec(cfg)
+    opt = make_optimizer(cfg)
+    with pytest.warns(UserWarning, match="single-chip"):
+        make_train_step(cfg, spec, opt, jax.random.PRNGKey(0), mesh)
