@@ -72,8 +72,12 @@ def forward(
     rng: jax.Array,
     step: jax.Array,
     train: bool,
+    axis_name=None,
 ):
-    """One teacher-forcing pass. Returns (logits, targets, new_bn_state, aux)."""
+    """One teacher-forcing pass. Returns (logits, targets, new_bn_state, aux).
+
+    axis_name: DP axis when called inside shard_map (threads to the VQ-EMA
+    psum; see models/bottlenecks.apply)."""
     dtype = jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
     wav = int16_to_float(wav_i16)
 
@@ -86,7 +90,8 @@ def forward(
     z = encoder.apply(params["encoder"], cfg.encoder, frames, dtype=dtype)
     rng_bn, rng_j = jax.random.split(rng)
     zq, new_bn_state, aux = bottlenecks.apply(
-        params["bottleneck"], bn_state, cfg.bottleneck, z, rng_j, step, train
+        params["bottleneck"], bn_state, cfg.bottleneck, z, rng_j, step, train,
+        axis_name=axis_name,
     )
 
     # --- upsample to wav rate, decoder
@@ -156,10 +161,11 @@ def reconstruct(
 
 
 def loss_fn(
-    params, bn_state, cfg, spec, wav_i16, spk, rng, step, train: bool = True
+    params, bn_state, cfg, spec, wav_i16, spk, rng, step, train: bool = True,
+    axis_name=None,
 ):
     logits, targets, new_bn_state, aux = forward(
-        params, bn_state, cfg, spec, wav_i16, spk, rng, step, train
+        params, bn_state, cfg, spec, wav_i16, spk, rng, step, train, axis_name
     )
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
     ce = -jnp.take_along_axis(logp, targets[:, None, :], axis=1)

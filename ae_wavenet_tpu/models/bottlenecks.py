@@ -107,9 +107,13 @@ def _jitter(zq, rng, p):
     return jnp.where(u > 1.0 - p / 2, right, out)
 
 
-def _apply_vq(state, cfg: BottleneckConfig, z, rng, train):
-    # z: [B, D, T] -> flatten to [N, D]
+def _apply_vq(state, cfg: BottleneckConfig, z, rng, train, axis_name=None):
+    # z: [B, D, T] -> flatten to [N, D].  Under shard_map DP (axis_name set)
+    # z is the LOCAL shard; EMA statistics are psum'd to the global batch.
     b, d, t = z.shape
+    if axis_name is not None:
+        # decorrelate per-replica stochastic choices (jitter, restarts)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
     e = state["codebook"]  # [K, D]
     zf = jnp.reshape(jnp.transpose(z, (0, 2, 1)), (b * t, d))
     if cfg.vq_use_pallas:
@@ -133,6 +137,9 @@ def _apply_vq(state, cfg: BottleneckConfig, z, rng, train):
         # contraction compiles to a psum over the data axis under pjit).
         counts = jnp.sum(onehot, axis=0)  # [K]
         sums = onehot.T @ jax.lax.stop_gradient(zf)  # [K, D]
+    if axis_name is not None:
+        counts = jax.lax.psum(counts, axis_name)
+        sums = jax.lax.psum(sums, axis_name)
     decay = cfg.ema_decay
     new_counts = decay * state["ema_counts"] + (1.0 - decay) * counts
     new_sums = decay * state["ema_sums"] + (1.0 - decay) * sums
@@ -151,6 +158,11 @@ def _apply_vq(state, cfg: BottleneckConfig, z, rng, train):
         cand = jax.lax.stop_gradient(
             zf[jax.random.randint(rng_r, (cfg.vq_k,), 0, zf.shape[0])]
         )
+        if axis_name is not None:
+            # every replica must re-seed dead codes IDENTICALLY: broadcast
+            # replica 0's candidates (rng was decorrelated above)
+            mine = (jax.lax.axis_index(axis_name) == 0).astype(cand.dtype)
+            cand = jax.lax.psum(cand * mine, axis_name)
         dead = new_counts < cfg.vq_restart_thresh
         new_codebook = jnp.where(dead[:, None], cand, new_codebook)
         new_sums = jnp.where(dead[:, None], cand, new_sums)
@@ -179,14 +191,21 @@ def _apply_vq(state, cfg: BottleneckConfig, z, rng, train):
     return zq, new_state, aux
 
 
-def apply(params, state, cfg: BottleneckConfig, z, rng, step, train: bool):
-    """Dispatch on cfg.kind.  z: [B, n_dim, T] -> (z_q, new_state, aux)."""
+def apply(params, state, cfg: BottleneckConfig, z, rng, step, train: bool,
+          axis_name=None):
+    """Dispatch on cfg.kind.  z: [B, n_dim, T] -> (z_q, new_state, aux).
+
+    axis_name: data-parallel axis when running inside shard_map — the VQ-EMA
+    statistics psum to the global batch (the pjit path needs no axis: XLA
+    inserts the psum from the sharded-batch contraction automatically)."""
     if cfg.kind == "ae":
         zq, new_state, aux = _apply_ae(z)
     elif cfg.kind == "vae":
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         zq, new_state, aux = _apply_vae(params, cfg, z, rng, step, train)
     elif cfg.kind == "vq":
-        zq, new_state, aux = _apply_vq(state, cfg, z, rng, train)
+        zq, new_state, aux = _apply_vq(state, cfg, z, rng, train, axis_name)
     else:
         raise ValueError(f"unknown bottleneck kind {cfg.kind!r}")
     return zq, new_state, aux

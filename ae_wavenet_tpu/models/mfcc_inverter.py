@@ -55,7 +55,8 @@ def forward(params, bn_state, cfg: RunConfig, spec: WindowSpec,
     return logits, targets, {}, {}
 
 
-def loss_fn(params, bn_state, cfg, spec, wav_i16, spk, rng, step, train=True):
+def loss_fn(params, bn_state, cfg, spec, wav_i16, spk, rng, step, train=True,
+            axis_name=None):  # no cross-replica state; axis unused
     logits, targets, new_bn_state, aux = forward(
         params, bn_state, cfg, spec, wav_i16, spk, rng, step, train
     )

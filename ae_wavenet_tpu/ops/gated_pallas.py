@@ -180,7 +180,8 @@ def gated_layer_fused(x, cond, skip, w_in, b_in, w_out, b_out, *, dd: int,
             pltpu.VMEM((tt, 2 * n_res + n_cond_pad), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True,
+                                             vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(x, cond, skip, w_in, b_in, w_out, b_out)
     return x_new, skip_new
@@ -189,18 +190,20 @@ def gated_layer_fused(x, cond, skip, w_in, b_in, w_out, b_out, *, dd: int,
 @functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
 def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
                 cond: jax.Array, gc_ids: jax.Array | None = None, *,
-                tile: int = 1024, interpret: bool = False) -> jax.Array:
+                tile: int | None = None, interpret: bool = False) -> jax.Array:
     """Drop-in forward of models/wavenet.apply built on the fused layers.
 
     x_ids [B, T_in] int32, cond [B, n_lc_out, T_in] -> logits
     [B, n_quant, T_in - rf] (same contract as wavenet.apply)."""
+    import os
+
     rf = (cfg.filter_sz - 1) * sum(cfg.dilations)
     t_in = x_ids.shape[-1]
     t_out = t_in - rf
     bsz = x_ids.shape[0]
     n_cond = cfg.n_lc_out + cfg.n_global_embed
     n_cond_pad = _round_up(n_cond, 128)
-    tt = tile
+    tt = int(os.environ.get("GATED_TILE", "1024")) if tile is None else tile
     p_len = _round_up(t_in, tt)
     lpad = _round_up(512, tt)
 
@@ -445,14 +448,16 @@ def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
     [B, LPAD+P, n_res] bf16 — the memory/recompute trade chosen because the
     stream is the cheapest complete residual from which gates can be
     recomputed in-kernel)."""
+    import os
+
     tt = tile
     p_len = _round_up(t_in, tt)
     rpad = _round_up(512, tt)
-    # the bwd kernel holds ~2x the fwd's live buffers (recompute + cotangent
-    # streams + f32 dW accumulators); a half tile keeps it under the ~16 MB
-    # VMEM budget at flagship dims.  p_len/lpad/rpad stay fwd-tile-aligned
-    # and remain divisible by the bwd tile.
-    tt_bwd = max(tt // 2, 256) if tt >= 512 else tt
+    # measured on v5e (BASELINE.md): bwd tile = fwd tile is best (1.321M
+    # vs 1.315M at tile/2 and 1.298M at tile/4) under the raised 64M
+    # scoped-vmem limit.  GATED_BWD_TILE overrides for experiments (must
+    # divide p_len and the lpad/rpad paddings).
+    tt_bwd = int(os.environ.get("GATED_BWD_TILE", tt))
 
     def layer_geo(i, tsz=tt):
         ty = t_in - sum(dils[: i + 1])

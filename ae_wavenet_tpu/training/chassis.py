@@ -68,27 +68,27 @@ def make_train_step(cfg: RunConfig, spec: ae.WindowSpec, optimizer, base_key,
     (params, opt_state, bn_state, metrics)
     """
     loss_fn = ae.loss_fn if loss_fn is None else loss_fn
-
+    dp_impl = cfg.train.dp_impl
     if mesh is not None and cfg.wavenet.use_pallas_stack:
-        # pallas_call does not auto-partition under a sharded mesh; until the
-        # fused stack is shard_map'd per data shard, DP runs use the XLA
-        # formulation (single-chip runs keep the fused kernels)
-        import dataclasses
-        import warnings
+        # pallas_call does not auto-partition under pjit sharding
+        # annotations; the fused stack requires the explicit per-shard
+        # program (each device runs the kernels on its local batch)
+        dp_impl = "shard_map"
 
-        warnings.warn(
-            "use_pallas_stack is single-chip for now; falling back to the "
-            "XLA stack under the data-parallel mesh", stacklevel=2)
-        cfg = dataclasses.replace(
-            cfg, wavenet=dataclasses.replace(cfg.wavenet,
-                                             use_pallas_stack=False))
-
-    def step_fn(params, opt_state, bn_state, wav, spk, step):
+    def step_fn(params, opt_state, bn_state, wav, spk, step,
+                axis_name=None):
         rng = jax.random.fold_in(base_key, step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_bn_state, metrics)), grads = grad_fn(
-            params, bn_state, cfg, spec, wav, spk, rng, step
+            params, bn_state, cfg, spec, wav, spk, rng, step,
+            axis_name=axis_name,
         )
+        if axis_name is not None:
+            # loss/grads are local-batch means; equal shard sizes make the
+            # pmean exactly the global-batch mean
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.tree.map(
+                lambda v: jax.lax.pmean(v, axis_name), dict(metrics))
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         metrics = dict(metrics)
@@ -97,6 +97,18 @@ def make_train_step(cfg: RunConfig, spec: ae.WindowSpec, optimizer, base_key,
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0, 1, 2))
+    if dp_impl == "shard_map":
+        from jax.sharding import PartitionSpec as P
+
+        repl_p, data_p = P(), P("data")
+        sm = jax.shard_map(
+            functools.partial(step_fn, axis_name="data"),
+            mesh=mesh,
+            in_specs=(repl_p, repl_p, repl_p, data_p, data_p, repl_p),
+            out_specs=(repl_p, repl_p, repl_p, repl_p),
+            check_vma=False,
+        )
+        return jax.jit(sm, donate_argnums=(0, 1, 2))
     repl = mesh_mod.replicated(mesh)
     data = mesh_mod.batch_sharding(mesh)
     return jax.jit(

@@ -106,6 +106,13 @@ class TrainConfig:
     holdout_every: int = 0    # >0: every k-th clip is held out of training
                               # and used by Chassis.evaluate()
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; params stay f32
+    dp_impl: str = "auto"     # data-parallel step implementation:
+                              # "auto" = pjit sharding annotations (XLA
+                              # inserts the allreduce); "shard_map" =
+                              # explicit per-shard program with
+                              # psum/pmean — REQUIRED for the fused Pallas
+                              # stack, which does not auto-partition
+                              # (forced automatically in that case)
 
 
 @dataclasses.dataclass(frozen=True)

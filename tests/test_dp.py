@@ -94,3 +94,70 @@ def test_mesh_two_steps_stay_in_sync():
     for sh in shards[1:]:
         np.testing.assert_array_equal(shards[0], sh)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_shard_map_step_matches_single_device():
+    """dp_impl="shard_map" (the explicit per-shard program required by the
+    fused Pallas stack) computes the same step as single-device: grads are
+    pmean'd and the VQ-EMA statistics psum to the global batch."""
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, dp_impl="shard_map"))
+    spec = ae.make_window_spec(cfg)
+    params, bn_state, optimizer, opt_state, wav, spk = _setup(cfg, spec)
+    key = jax.random.PRNGKey(1)
+
+    single = make_train_step(cfg, spec, optimizer, key)
+    p1, o1, b1, m1 = single(params, opt_state, bn_state,
+                            jnp.asarray(wav), jnp.asarray(spk), jnp.int32(0))
+
+    mesh = mesh_mod.make_mesh()
+    repl, data = mesh_mod.replicated(mesh), mesh_mod.batch_sharding(mesh)
+    params2, bn2 = ae.init(jax.random.PRNGKey(0), cfg)
+    opt2 = optimizer.init(params2)
+    params2 = jax.device_put(params2, repl)
+    bn2 = jax.device_put(bn2, repl)
+    opt2 = jax.device_put(opt2, repl)
+    sharded = make_train_step(cfg, spec, optimizer, key, mesh)
+    p2, o2, b2, m2 = sharded(params2, opt2, bn2,
+                             jax.device_put(wav, data),
+                             jax.device_put(spk, data), jnp.int32(0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(b1["ema_counts"]), np.asarray(b2["ema_counts"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(b1["codebook"]), np.asarray(b2["codebook"]),
+        rtol=1e-4, atol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_shard_map_restarts_stay_identical():
+    """Dead-code restarts under shard_map must re-seed every replica with
+    the SAME candidate vectors (broadcast from replica 0)."""
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg,
+        bottleneck=dataclasses.replace(cfg.bottleneck,
+                                       vq_restart_thresh=10.0),  # force
+        train=dataclasses.replace(cfg.train, dp_impl="shard_map"),
+    )
+    spec = ae.make_window_spec(cfg)
+    params, bn_state, optimizer, opt_state, wav, spk = _setup(cfg, spec)
+    mesh = mesh_mod.make_mesh()
+    repl, data = mesh_mod.replicated(mesh), mesh_mod.batch_sharding(mesh)
+    params = jax.device_put(params, repl)
+    bn_state = jax.device_put(bn_state, repl)
+    opt_state = jax.device_put(opt_state, repl)
+    step = make_train_step(cfg, spec, optimizer, jax.random.PRNGKey(1), mesh)
+    _, _, b2, _ = step(params, opt_state, bn_state,
+                       jax.device_put(wav, data), jax.device_put(spk, data),
+                       jnp.int32(0))
+    leaf = b2["codebook"]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for sh in shards[1:]:
+        np.testing.assert_array_equal(shards[0], sh)

@@ -98,21 +98,38 @@ def test_stack_grads_match_xla():
     assert rms_pal < 3.0 * rms_xla + 1e-8, (rms_pal, rms_xla)
 
 
-def test_mesh_falls_back_to_xla(recwarn):
-    """pallas_call does not auto-partition under a sharded mesh: the chassis
-    must warn and route DP steps through the XLA stack."""
-    import warnings
+def test_mesh_routes_through_shard_map():
+    """pallas_call does not auto-partition under pjit annotations, so a mesh
+    + use_pallas_stack must build the explicit shard_map step (which on this
+    CPU backend runs the XLA stack per shard — the semantics under test are
+    the shard_map program itself; see tests/test_dp.py for equivalence)."""
+    import dataclasses as dc
     from ae_wavenet_tpu.parallel import mesh as mesh_mod
     from ae_wavenet_tpu.training.chassis import make_optimizer, make_train_step
-    from ae_wavenet_tpu.utils.config import RunConfig, tiny_config
-    import dataclasses as dc
+    from ae_wavenet_tpu.models import autoencoder as ae
+    from ae_wavenet_tpu.utils.config import tiny_config
 
     cfg = tiny_config()
-    cfg = dc.replace(cfg, wavenet=dc.replace(cfg.wavenet,
-                                             use_pallas_stack=True))
+    cfg = dc.replace(
+        cfg,
+        wavenet=dc.replace(cfg.wavenet, use_pallas_stack=True),
+        train=dc.replace(cfg.train, batch_sz=4),
+    )
     mesh = mesh_mod.make_mesh(jax.devices()[:2])
-    from ae_wavenet_tpu.models import autoencoder as ae
     spec = ae.make_window_spec(cfg)
     opt = make_optimizer(cfg)
-    with pytest.warns(UserWarning, match="single-chip"):
-        make_train_step(cfg, spec, opt, jax.random.PRNGKey(0), mesh)
+    step = make_train_step(cfg, spec, opt, jax.random.PRNGKey(0), mesh)
+    params, bn_state = ae.init(jax.random.PRNGKey(1), cfg)
+    opt_state = opt.init(params)
+    repl = mesh_mod.replicated(mesh)
+    data = mesh_mod.batch_sharding(mesh)
+    params = jax.device_put(params, repl)
+    bn_state = jax.device_put(bn_state, repl)
+    opt_state = jax.device_put(opt_state, repl)
+    rng = np.random.default_rng(0)
+    wav = jax.device_put(
+        rng.integers(-8000, 8000, (4, spec.u_len)).astype(np.int16), data)
+    spk = jax.device_put(rng.integers(0, 10, (4,)).astype(np.int32), data)
+    _, _, _, metrics = step(params, opt_state, bn_state, wav, spk,
+                            jnp.int32(0))
+    assert np.isfinite(float(metrics["loss"]))
