@@ -90,13 +90,18 @@ def pack_stack_weights(params: dict, cfg: WaveNetConfig):
 
 
 def gated_layer_fused(x, cond, skip, w_in, b_in, w_out, b_out, *, dd: int,
-                      t_min: int, tile: int, interpret: bool = False):
+                      t_min: int, tile: int, interpret: bool = False,
+                      save_y: bool = False):
     """One fused gated layer on frame-aligned buffers.
 
     x    [B, LPAD + P, n_res] bf16 — residual stream, valid right-aligned
     cond [B, P, ncp] bf16, skip [B, P, n_skp] f32 — frame-aligned
     t_min: first tile (in frame tiles) overlapping this layer's valid rows.
     Returns (x_new [B, LPAD + P, n_res], skip') — skip accumulated via alias.
+    With save_y, also returns y [B, P, 2*n_dil] bf16 (the gate
+    pre-activations) so the backward can skip the xin @ w_in recompute GEMM
+    — 28% of the backward FLOPs traded for one bf16 stream of HBM traffic
+    (head-to-head in BASELINE.md).
     """
     bsz, lp, n_res = x.shape
     p_len = cond.shape[1]
@@ -111,7 +116,11 @@ def gated_layer_fused(x, cond, skip, w_in, b_in, w_out, b_out, *, dd: int,
     assert lpad % tt == 0 and p_len % tt == 0 and dd_pad <= lpad
 
     def kernel(x_hbm, cond_ref, skip_ref, w_in_ref, b_in_ref, w_out_ref,
-               b_out_ref, x_new_ref, skip_out_ref, x_scr, xin_scr, rd_sems):
+               b_out_ref, x_new_ref, skip_out_ref, *rest):
+        if save_y:
+            y_out_ref, x_scr, xin_scr, rd_sems = rest
+        else:
+            x_scr, xin_scr, rd_sems = rest
         b = pl.program_id(0)
         t = pl.program_id(1)
 
@@ -139,6 +148,8 @@ def gated_layer_fused(x, cond, skip, w_in, b_in, w_out, b_out, *, dd: int,
 
         y = jnp.dot(xin_scr[:], w_in_ref[:],
                     preferred_element_type=jnp.float32) + b_in_ref[:]
+        if save_y:
+            y_out_ref[0] = y.astype(jnp.bfloat16)
         h = (jnp.tanh(y[:, :n_dil]) * jax.nn.sigmoid(y[:, n_dil:])
              ).astype(jnp.bfloat16)
         out = jnp.dot(h, w_out_ref[:],
@@ -154,7 +165,7 @@ def gated_layer_fused(x, cond, skip, w_in, b_in, w_out, b_out, *, dd: int,
         return pl.BlockSpec((1, tt, c), lambda b, t, _o=off: (b, _o + t_min + t, 0),
                             memory_space=space)
 
-    x_new, skip_new = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -169,11 +180,12 @@ def gated_layer_fused(x, cond, skip, w_in, b_in, w_out, b_out, *, dd: int,
         out_specs=[
             spec(n_res, off=lpad_blk),                   # x_new tile
             spec(n_skp),                                 # skip out tile
-        ],
+        ] + ([spec(2 * n_dil)] if save_y else []),       # y tile
         out_shape=[
             jax.ShapeDtypeStruct((bsz, lp, n_res), jnp.bfloat16),
             jax.ShapeDtypeStruct(skip.shape, jnp.float32),
-        ],
+        ] + ([jax.ShapeDtypeStruct((bsz, p_len, 2 * n_dil), jnp.bfloat16)]
+             if save_y else []),
         input_output_aliases={2: 1},                     # skip in -> skip out
         scratch_shapes=[
             pltpu.VMEM((2, tt + dd_pad, n_res), jnp.bfloat16),
@@ -184,13 +196,15 @@ def gated_layer_fused(x, cond, skip, w_in, b_in, w_out, b_out, *, dd: int,
                                              vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
     )(x, cond, skip, w_in, b_in, w_out, b_out)
-    return x_new, skip_new
+    return tuple(outs)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "tile", "interpret", "save_y"))
 def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
                 cond: jax.Array, gc_ids: jax.Array | None = None, *,
-                tile: int | None = None, interpret: bool = False) -> jax.Array:
+                tile: int | None = None, interpret: bool = False,
+                save_y: bool | None = None) -> jax.Array:
     """Drop-in forward of models/wavenet.apply built on the fused layers.
 
     x_ids [B, T_in] int32, cond [B, n_lc_out, T_in] -> logits
@@ -226,7 +240,9 @@ def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
 
     packed = tuple(pack_stack_weights(params, cfg))
     dils = tuple(d * (cfg.filter_sz - 1) for d in cfg.dilations)
-    core = _stack_core(dils, t_in, cfg.n_skp, tt, interpret)
+    if save_y is None:
+        save_y = os.environ.get("GATED_SAVE_Y", "1") == "1"
+    core = _stack_core(dils, t_in, cfg.n_skp, tt, interpret, save_y)
     skip = core(x, cond_buf, packed)
 
     skip_out = jax.lax.dynamic_slice(
@@ -246,13 +262,17 @@ def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
 
 # ===================================================================== bwd
 
-def gated_layer_bwd(x, cond, gxcur, gxprev, gskip, gcond, w_in, w_out, *,
-                    dd: int, prev_dd: int, t_min: int, valid_lo: int,
-                    cur_valid_lo: int, tile: int, interpret: bool = False):
+def gated_layer_bwd(x, cond, gxcur, gxprev, gskip, gcond, w_in, w_out, b_in,
+                    *, dd: int, prev_dd: int, t_min: int, valid_lo: int,
+                    cur_valid_lo: int, tile: int, interpret: bool = False,
+                    y_saved=None):
     """Fused backward of one gated layer.
 
     Inputs (frame-aligned, see module docstring):
       x      [B, LPAD+P, n_res] bf16 — this layer's saved INPUT stream
+      y_saved [B, P, 2*n_dil] bf16 or None — forward gate pre-activations;
+              when given, the xin @ w_in recompute GEMM (28% of backward
+              FLOPs) is skipped and the gates are rebuilt on the VPU
       cond   [B, P, ncp] bf16
       gxcur  [B, LPAD+P, n_res] bf16 — d/d(x_new)[g], identity+cur parts
       gxprev [B, LPAD+P+RPAD, n_res] bf16 — d/d(x_new)[g-dd_next] stored at g
@@ -282,11 +302,18 @@ def gated_layer_bwd(x, cond, gxcur, gxprev, gskip, gcond, w_in, w_out, *,
     lpad_blk = lpad // tt
     assert lpad % tt == 0 and dd_pad <= lpad and pdd_pad <= rpad
 
+    use_y = y_saved is not None
+
     def kernel(x_hbm, gxp_hbm, cond_ref, gxc_ref, gsk_ref, gcond_ref,
-               w_in_ref, w_out_ref,
-               gxc_out_ref, gxp_out_ref, gcond_out_ref,
-               dw_in_ref, db_in_ref, dw_out_ref, db_out_ref,
-               x_scr, gxp_scr, xin_scr, rd_sems):
+               w_in_ref, w_out_ref, b_in_ref, *rest):
+        if use_y:
+            (y_ref, gxc_out_ref, gxp_out_ref, gcond_out_ref,
+             dw_in_ref, db_in_ref, dw_out_ref, db_out_ref,
+             x_scr, gxp_scr, xin_scr, rd_sems) = rest
+        else:
+            (gxc_out_ref, gxp_out_ref, gcond_out_ref,
+             dw_in_ref, db_in_ref, dw_out_ref, db_out_ref,
+             x_scr, gxp_scr, xin_scr, rd_sems) = rest
         b = pl.program_id(0)
         t = pl.program_id(1)
         is_first = (b == 0) & (t == 0)
@@ -321,13 +348,22 @@ def gated_layer_bwd(x, cond, gxcur, gxprev, gskip, gcond, w_in, w_out, *,
         t0 = (t_min + t) * tt
         rows = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0) + t0
 
-        # ---- recompute xin -> gate activations (garbage rows -> zero xin)
+        # ---- rebuild gate activations; xin is still assembled (the dw_in
+        # GEMM needs it) but the big recompute GEMM runs only when the
+        # forward did not save y (garbage rows -> zero xin / zero y)
         xin_scr[:, :n_res] = x_scr[slot, dd_pad - dd : dd_pad - dd + tt, :]
         xin_scr[:, n_res : 2 * n_res] = x_scr[slot, dd_pad:, :]
         xin_scr[:, 2 * n_res :] = cond_ref[0]
         valid = rows >= valid_lo  # [tt, 1]
         xin = jnp.where(valid, xin_scr[:], 0).astype(jnp.bfloat16)
-        y = jnp.dot(xin, w_in_ref[:], preferred_element_type=jnp.float32)
+        if use_y:
+            y = jnp.where(valid, y_ref[0].astype(jnp.float32), 0.0)
+        else:
+            y = jnp.where(
+                valid,
+                jnp.dot(xin, w_in_ref[:],
+                        preferred_element_type=jnp.float32) + b_in_ref[:],
+                0.0)
         tf = jnp.tanh(y[:, :n_dil])
         sg = jax.nn.sigmoid(y[:, n_dil:])
         h = (tf * sg).astype(jnp.bfloat16)
@@ -403,7 +439,8 @@ def gated_layer_bwd(x, cond, gxcur, gxprev, gskip, gcond, w_in, w_out, *,
             spec(n_cond_pad),                        # gcond tile (aliased)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w_in
             pl.BlockSpec(memory_space=pltpu.VMEM),   # w_out
-        ],
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b_in
+        ] + ([spec(2 * n_dil)] if use_y else []),    # saved y tile
         out_specs=[
             spec(n_res, off=lpad_blk),               # gxcur'
             spec(n_res, off=lpad_blk),               # gxprev'
@@ -434,20 +471,24 @@ def gated_layer_bwd(x, cond, gxcur, gxprev, gskip, gcond, w_in, w_out, *,
         compiler_params=pltpu.CompilerParams(has_side_effects=True,
                                              vmem_limit_bytes=64 * 2**20),
         interpret=interpret,
-    )(x, gxprev, cond, gxcur, gskip, gcond, w_in, w_out)
+    )(x, gxprev, cond, gxcur, gskip, gcond, w_in, w_out, b_in,
+      *((y_saved,) if use_y else ()))
     return outs
 
 
 @functools.lru_cache(maxsize=64)
 def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
-                interpret: bool):
+                interpret: bool, save_y: bool = True):
     """custom_vjp'd fused stack: (x0, cond_buf, packed_weights) -> skip_buf.
 
     Forward runs the fused layers; backward runs :func:`gated_layer_bwd` in
     reverse, saving each layer's input residual stream as residuals (L x
-    [B, LPAD+P, n_res] bf16 — the memory/recompute trade chosen because the
-    stream is the cheapest complete residual from which gates can be
-    recomputed in-kernel)."""
+    [B, LPAD+P, n_res] bf16 — the cheapest complete residual from which the
+    backward can rebuild its operands in-kernel).  With ``save_y`` (default;
+    GATED_SAVE_Y=0 reverts) the forward also saves each layer's gate
+    pre-activations y bf16, removing the backward's xin @ w_in recompute
+    GEMM — 28% of backward FLOPs for ~2 KB/row/layer of extra HBM traffic
+    (measured head-to-head in BASELINE.md)."""
     import os
 
     tt = tile
@@ -467,29 +508,35 @@ def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
     def run_fwd(x, cond_buf, packed, save):
         bsz = x.shape[0]
         skip = jnp.zeros((bsz, p_len, n_skp), jnp.float32)
-        xs = []
+        xs, ys = [], []
         for i, dd in enumerate(dils):
             if save:
                 xs.append(x)
             _ty, t_min = layer_geo(i)
             w_in, b_in, w_out, b_out = packed[i]
-            x, skip = gated_layer_fused(
+            outs = gated_layer_fused(
                 x, cond_buf, skip, w_in, b_in, w_out, b_out,
                 dd=dd, t_min=t_min, tile=tt, interpret=interpret,
+                save_y=save and save_y,
             )
-        return skip, tuple(xs)
+            if save and save_y:
+                x, skip, y = outs
+                ys.append(y)
+            else:
+                x, skip = outs
+        return skip, tuple(xs), tuple(ys)
 
     @jax.custom_vjp
     def core(x0, cond_buf, packed):
-        skip, _ = run_fwd(x0, cond_buf, packed, save=False)
+        skip, _, _ = run_fwd(x0, cond_buf, packed, save=False)
         return skip
 
     def core_fwd(x0, cond_buf, packed):
-        skip, xs = run_fwd(x0, cond_buf, packed, save=True)
-        return skip, (xs, cond_buf, packed)
+        skip, xs, ys = run_fwd(x0, cond_buf, packed, save=True)
+        return skip, (xs, ys, cond_buf, packed)
 
     def core_bwd(res, g_skip):
-        xs, cond_buf, packed = res
+        xs, ys, cond_buf, packed = res
         bsz, lp, n_res = xs[0].shape
         ncp = cond_buf.shape[-1]
         gskip = g_skip.astype(jnp.bfloat16)
@@ -504,12 +551,13 @@ def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
             # gxcur's producer is layer i+1's bwd, defined on ITS out lattice
             cur_valid_lo = (p_len - layer_geo(i + 1)[0]
                             if i + 1 < len(dils) else p_len)
-            w_in, _b_in, w_out, _b_out = packed[i]
+            w_in, b_in, w_out, _b_out = packed[i]
             gxcur, gxprev, gcond, dwi, dbi, dwo, dbo = gated_layer_bwd(
                 xs[i], cond_buf, gxcur, gxprev, gskip, gcond, w_in, w_out,
-                dd=dd, prev_dd=prev_dd, t_min=t_min,
+                b_in, dd=dd, prev_dd=prev_dd, t_min=t_min,
                 valid_lo=p_len - ty, cur_valid_lo=cur_valid_lo,
                 tile=tt_bwd, interpret=interpret,
+                y_saved=ys[i] if save_y else None,
             )
             dpacked[i] = (dwi.astype(jnp.bfloat16), dbi.astype(jnp.float32),
                           dwo.astype(jnp.bfloat16), dbo.astype(jnp.float32))

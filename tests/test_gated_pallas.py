@@ -98,6 +98,47 @@ def test_stack_grads_match_xla():
     assert rms_pal < 3.0 * rms_xla + 1e-8, (rms_pal, rms_xla)
 
 
+def test_stack_grads_nonzero_bias():
+    """Regression: the backward must add b_in when rebuilding the gate
+    pre-activations.  Freshly-initialized biases are zero, so the plain
+    grad test cannot see a dropped bias — this one perturbs every bias
+    (the state after any real optimizer step) and checks both backward
+    variants (saved-y and recompute) against the XLA stack."""
+    params, x_ids, cond, spk = _inputs(170)
+    for i, p in enumerate(params["layers"]):
+        for j, k in enumerate(("w_prev", "w_cur", "w_cond", "w_res", "w_skip")):
+            b = p[k]["b"]
+            key = jax.random.PRNGKey(1000 + 10 * i + j)
+            p[k]["b"] = b + 0.3 * jax.random.normal(key, b.shape)
+    t_out = 170
+    probe = jax.random.normal(jax.random.PRNGKey(9),
+                              (x_ids.shape[0], CFG.n_quant, t_out))
+
+    def loss_xla(p, c):
+        out = wavenet.apply(p, CFG, x_ids, c, spk, dtype=jnp.bfloat16)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    gx = jax.grad(loss_xla, argnums=(0, 1))(params, cond)
+
+    def flat(t):
+        return np.concatenate(
+            [np.asarray(x, np.float32).ravel() for x in jax.tree.leaves(t)])
+
+    fx = flat(gx)
+    scale = np.abs(fx).max() + 1e-9
+    for save_y in (True, False):
+        def loss_pal(p, c, _s=save_y):
+            out = gp.stack_apply(p, CFG, x_ids, c, spk, tile=64,
+                                 interpret=True, save_y=_s)
+            return jnp.mean(out.astype(jnp.float32) * probe)
+
+        gpl = jax.grad(loss_pal, argnums=(0, 1))(params, cond)
+        fp = flat(gpl)
+        assert np.isfinite(fp).all()
+        err = np.abs(fp - fx).max() / scale
+        assert err < 0.05, (save_y, err)
+
+
 def test_mesh_routes_through_shard_map():
     """pallas_call does not auto-partition under pjit annotations, so a mesh
     + use_pallas_stack must build the explicit shard_map step (which on this
