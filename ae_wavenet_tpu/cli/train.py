@@ -34,6 +34,14 @@ def _add_runtime_flags(p):
     p.add_argument("--ckpt-every", type=int, default=None)
     p.add_argument("--mesh", action="store_true",
                    help="shard the batch over all visible devices")
+    # multi-host (SURVEY.md §2.2: DP over DCN via jax.distributed)
+    p.add_argument("--distributed", action="store_true",
+                   help="jax.distributed.initialize() before building the "
+                        "mesh (TPU pods autodetect; implies --mesh)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 (unset = autodetect)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--eval-every", type=int, default=0,
                    help="run Chassis.evaluate() every N steps (0 = off)")
     # observability (SURVEY.md §5 rows 1-2, 5)
@@ -181,6 +189,11 @@ def config_from_args(a) -> config_mod.RunConfig:
 def main(argv=None) -> int:
     a = build_parser().parse_args(argv)
     # defer heavy imports so --help stays fast
+    if a.distributed:
+        # must run before any jax API touches the backend
+        from ae_wavenet_tpu.parallel.mesh import initialize_distributed
+        initialize_distributed(a.coordinator, a.num_processes, a.process_id)
+        a.mesh = True
     from ae_wavenet_tpu.parallel.mesh import make_mesh
     from ae_wavenet_tpu.training import checkpoint as ckpt_mod
     from ae_wavenet_tpu.training.chassis import Chassis

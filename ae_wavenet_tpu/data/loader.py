@@ -18,6 +18,7 @@ from typing import Iterator
 import jax
 
 from ae_wavenet_tpu.data.dataset import WindowSampler
+from ae_wavenet_tpu.parallel import mesh as mesh_mod
 
 
 def device_batches(
@@ -30,13 +31,18 @@ def device_batches(
     """Yield (step, (wav, spk)) with the arrays already on device.
 
     A background thread keeps ``prefetch`` transfers in flight; jax transfers
-    are async, so compute and host->HBM copies overlap.
+    are async, so compute and host->HBM copies overlap.  Under a multi-host
+    mesh each process feeds only its addressable shards of the global batch
+    (mesh.put_sharded); the pure (seed, step) sampler keeps every host's
+    view of the global batch identical with no cross-host data exchange.
     """
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
     def put_fn(x):
-        return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+        if sharding is None:
+            return jax.device_put(x)
+        return mesh_mod.put_sharded(x, sharding)
 
     def producer():
         try:

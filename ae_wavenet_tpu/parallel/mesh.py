@@ -17,9 +17,67 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host: start JAX's distributed runtime so ``jax.devices()``
+    spans every host and the data mesh extends over DCN.
+
+    On TPU pods (GCE metadata present) a bare call autodetects everything;
+    the explicit arguments serve CPU/GPU clusters and the 2-process CPU
+    integration test (tests/test_multihost.py).  Replaces the reference's
+    ``xmp.spawn`` process-per-core model [SURVEY.md §2.2 comm backend]: one
+    process per HOST, collectives compiled onto ICI intra-host and DCN
+    across hosts by XLA.  Call before any other jax API touches the backend.
+    """
+    kwargs = {}
+    if coordinator is not None:
+        kwargs.update(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(devices=None) -> Mesh:
     devices = jax.devices() if devices is None else devices
     return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def put_replicated(tree, mesh: Mesh):
+    """Replicate a host pytree onto every device of ``mesh``.
+
+    Works under multi-process meshes too (where a plain ``device_put`` of
+    host data against a sharding spanning non-addressable devices is not
+    allowed): every process holds the same host value and fills only its
+    addressable shards.
+    """
+    repl = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, repl)
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, repl, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree)
+
+
+def put_sharded(x, sharding: NamedSharding):
+    """Place a GLOBAL host batch against ``sharding``.
+
+    Single-process: an async ``device_put`` (each device gets its shard).
+    Multi-process: every process computes the same global batch (the sampler
+    is pure in (seed, step)) and contributes only the shards of its own
+    addressable devices.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -209,10 +209,9 @@ class Chassis:
         self.params, self.bn_state = self.model.init(init_key, cfg)
         self.opt_state = self.optimizer.init(self.params)
         if mesh is not None:
-            repl = mesh_mod.replicated(mesh)
-            self.params = jax.device_put(self.params, repl)
-            self.bn_state = jax.device_put(self.bn_state, repl)
-            self.opt_state = jax.device_put(self.opt_state, repl)
+            self.params = mesh_mod.put_replicated(self.params, mesh)
+            self.bn_state = mesh_mod.put_replicated(self.bn_state, mesh)
+            self.opt_state = mesh_mod.put_replicated(self.opt_state, mesh)
 
     # ------------------------------------------------------------ persist
     def save(self) -> str:
@@ -227,7 +226,7 @@ class Chassis:
         step, tree, _cfg = ckpt_mod.load(self.ckpt_dir, step)
         # restore array types/shardings by matching the initialized pytrees
         put = (
-            functools.partial(jax.device_put, device=mesh_mod.replicated(self.mesh))
+            (lambda x: mesh_mod.put_replicated(x, self.mesh))
             if self.mesh is not None
             else jax.device_put
         )
