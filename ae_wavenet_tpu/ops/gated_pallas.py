@@ -199,12 +199,151 @@ def gated_layer_fused(x, cond, skip, w_in, b_in, w_out, b_out, *, dd: int,
     return tuple(outs)
 
 
+def gated_pair_fused(x, cond, skip, pk1, pk2, *, dd1: int, dd2: int,
+                     t_min: int, tile: int, interpret: bool = False,
+                     save_y: bool = False):
+    """TWO consecutive fused gated layers in ONE kernel.
+
+    The inter-layer residual stream (layer 1's output, "mid") stays in VMEM
+    for the tile: layer 2's cur tap uses it directly and its prev tap
+    (mid[g - dd2]) comes from a PERSISTENT tail scratch carried across grid
+    steps — the pallas grid iterates the tile axis sequentially per batch
+    row, so tile t-1's last dd2 mid rows are exactly what tile t needs.
+    Versus two single-layer calls this removes one residual-stream HBM read
+    and one f32 skip read+write per pair (the pair accumulates skip once).
+    mid is still WRITTEN to HBM: the backward needs it as layer 2's saved
+    input (same residual schedule as the unfused path).
+
+    Requires dd2 < tile (tail fits one tile back).  pk1/pk2 =
+    (w_in, b_in, w_out, b_out) packed as in :func:`pack_stack_weights`.
+    t_min: layer 1's first tile (the lower of the two) — layer-2 rows below
+    its own lattice compute garbage that never mixes into valid rows (same
+    right-aligned frame argument as the module docstring).
+    Returns (mid, x_new, skip') + ((y1, y2) if save_y).
+    """
+    w_in1, b_in1, w_out1, b_out1 = pk1
+    w_in2, b_in2, w_out2, b_out2 = pk2
+    bsz, lp, n_res = x.shape
+    p_len = cond.shape[1]
+    lpad = lp - p_len
+    n_dil = w_in1.shape[-1] // 2
+    n_skp = skip.shape[-1]
+    n_cond_pad = cond.shape[-1]
+    tt = tile
+    nt = p_len // tt - t_min
+    dd1_pad = _round_up(dd1, 16)
+    lpad_blk = lpad // tt
+    assert lpad % tt == 0 and p_len % tt == 0 and dd1_pad <= lpad
+    assert 0 < dd2 < tt
+
+    def kernel(x_hbm, cond_ref, skip_ref, wi1, bi1, wo1, bo1, wi2, bi2,
+               wo2, bo2, mid_ref, x_new_ref, skip_out_ref, *rest):
+        if save_y:
+            y1_ref, y2_ref, x_scr, xin_scr, tail_scr, rd_sems = rest
+        else:
+            x_scr, xin_scr, tail_scr, rd_sems = rest
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        def rd_x(bb, tile_t, slot):
+            start = lpad - dd1_pad + (t_min + tile_t) * tt
+            return pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(start, tt + dd1_pad), :],
+                x_scr.at[slot], rd_sems.at[slot])
+
+        @pl.when(t == 0)
+        def _():
+            rd_x(b, 0, 0).start()
+
+        @pl.when(t + 1 < nt)
+        def _():
+            rd_x(b, t + 1, (t + 1) % 2).start()
+
+        slot = jax.lax.rem(t, 2)
+        rd_x(b, t, slot).wait()
+
+        # ---- layer 1 on rows [g, g+tt)
+        xin_scr[:, :n_res] = x_scr[slot, dd1_pad - dd1 : dd1_pad - dd1 + tt, :]
+        xin_scr[:, n_res : 2 * n_res] = x_scr[slot, dd1_pad:, :]
+        xin_scr[:, 2 * n_res :] = cond_ref[0]
+        y1 = jnp.dot(xin_scr[:], wi1[:],
+                     preferred_element_type=jnp.float32) + bi1[:]
+        if save_y:
+            y1_ref[0] = y1.astype(jnp.bfloat16)
+        h1 = (jnp.tanh(y1[:, :n_dil]) * jax.nn.sigmoid(y1[:, n_dil:])
+              ).astype(jnp.bfloat16)
+        out1 = jnp.dot(h1, wo1[:],
+                       preferred_element_type=jnp.float32) + bo1[:]
+        mid = x_scr[slot, dd1_pad:, :] + out1[:, :n_res].astype(jnp.bfloat16)
+        mid_ref[0] = mid
+        skip_acc = skip_ref[0] + out1[:, n_res:]
+
+        # ---- layer 2 on the same rows; prev tap from the persistent tail
+        # (tile t-1's mid rows [g-dd2, g); garbage on the first tile of each
+        # batch row, which only feeds rows below layer 2's lattice)
+        xin_scr[:dd2, :n_res] = tail_scr[:]
+        xin_scr[dd2:, :n_res] = mid[: tt - dd2]
+        tail_scr[:] = mid[tt - dd2 :]
+        xin_scr[:, n_res : 2 * n_res] = mid
+        y2 = jnp.dot(xin_scr[:], wi2[:],
+                     preferred_element_type=jnp.float32) + bi2[:]
+        if save_y:
+            y2_ref[0] = y2.astype(jnp.bfloat16)
+        h2 = (jnp.tanh(y2[:, :n_dil]) * jax.nn.sigmoid(y2[:, n_dil:])
+              ).astype(jnp.bfloat16)
+        out2 = jnp.dot(h2, wo2[:],
+                       preferred_element_type=jnp.float32) + bo2[:]
+        x_new_ref[0] = mid + out2[:, :n_res].astype(jnp.bfloat16)
+        skip_out_ref[0] = skip_acc + out2[:, n_res:]
+
+    def spec(c, off=0):
+        return pl.BlockSpec((1, tt, c),
+                            lambda b, t, _o=off: (b, _o + t_min + t, 0),
+                            memory_space=pltpu.VMEM)
+
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),  # x (manual halo)
+                  spec(n_cond_pad), spec(n_skp)] + [wspec] * 8,
+        out_specs=[
+            spec(n_res, off=lpad_blk),                   # mid tile
+            spec(n_res, off=lpad_blk),                   # x_new tile
+            spec(n_skp),                                 # skip out tile
+        ] + ([spec(2 * n_dil)] * 2 if save_y else []),
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, lp, n_res), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bsz, lp, n_res), jnp.bfloat16),
+            jax.ShapeDtypeStruct(skip.shape, jnp.float32),
+        ] + ([jax.ShapeDtypeStruct((bsz, p_len, 2 * n_dil), jnp.bfloat16)] * 2
+             if save_y else []),
+        input_output_aliases={2: 2},                     # skip in -> skip out
+        scratch_shapes=[
+            pltpu.VMEM((2, tt + dd1_pad, n_res), jnp.bfloat16),
+            pltpu.VMEM((tt, 2 * n_res + n_cond_pad), jnp.bfloat16),
+            pltpu.VMEM((dd2, n_res), jnp.bfloat16),      # persistent tail
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=96 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, cond, skip, w_in1, b_in1, w_out1, b_out1,
+      w_in2, b_in2, w_out2, b_out2)
+    return tuple(outs)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "tile", "interpret", "save_y"))
+                   static_argnames=("cfg", "tile", "interpret", "save_y",
+                                    "fuse_pairs", "btq"))
 def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
                 cond: jax.Array, gc_ids: jax.Array | None = None, *,
                 tile: int | None = None, interpret: bool = False,
-                save_y: bool | None = None) -> jax.Array:
+                save_y: bool | None = None,
+                fuse_pairs: bool | None = None,
+                btq: bool = False) -> jax.Array:
     """Drop-in forward of models/wavenet.apply built on the fused layers.
 
     x_ids [B, T_in] int32, cond [B, n_lc_out, T_in] -> logits
@@ -242,7 +381,10 @@ def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
     dils = tuple(d * (cfg.filter_sz - 1) for d in cfg.dilations)
     if save_y is None:
         save_y = os.environ.get("GATED_SAVE_Y", "1") == "1"
-    core = _stack_core(dils, t_in, cfg.n_skp, tt, interpret, save_y)
+    if fuse_pairs is None:
+        fuse_pairs = os.environ.get("GATED_FUSE_PAIRS", "0") == "1"
+    core = _stack_core(dils, t_in, cfg.n_skp, tt, interpret, save_y,
+                       fuse_pairs)
     skip = core(x, cond_buf, packed)
 
     skip_out = jax.lax.dynamic_slice(
@@ -257,6 +399,10 @@ def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
 
     h = jax.nn.relu(mm(params["post1"], h))
     logits = mm(params["post2"], h)
+    if btq:
+        # time-major [B, T, Q] — the stack's native layout; the loss can
+        # consume it directly (softmax on the lane axis, no transpose)
+        return logits
     return jnp.transpose(logits, (0, 2, 1))
 
 
@@ -476,9 +622,244 @@ def gated_layer_bwd(x, cond, gxcur, gxprev, gskip, gcond, w_in, w_out, b_in,
     return outs
 
 
+def gated_pair_bwd(x1, x2, cond, gxcur, gxprev, gskip, gcond, pk1, pk2,
+                   y1, y2, *, dd1: int, dd2: int, prev_dd: int, t_min: int,
+                   valid_lo1: int, valid_lo2: int, cur_valid_lo: int,
+                   tile: int, interpret: bool = False):
+    """Fused backward of TWO consecutive gated layers (saved-y only).
+
+    Mirror of :func:`gated_pair_fused`: the inter-layer cotangent (layer
+    2's contributions to its input stream x2) never touches HBM.  The grid
+    iterates tiles DESCENDING, so layer 2's prev-tap cotangent for rows
+    near the tile top — produced at rows [g+tt, g+tt+dd2) — comes from the
+    previous (higher) tile's fresh values via a persistent head scratch;
+    the first (topmost) tile's garbage head is masked structurally by the
+    rows + dd2 < P frame bound, exactly like the gxprev junk mask in
+    :func:`gated_layer_bwd`.
+
+    x1/x2: layer 1's / layer 2's saved input streams ([B, LPAD+P, n_res]
+    bf16; x2 is the pair kernel's ``mid``).  y1/y2: saved gate
+    pre-activations.  gxcur/gxprev/gskip/gcond as in the single-layer
+    backward (produced by the NEXT layer's bwd, prev_dd = its dilation
+    step).  Returns (gxcur', gxprev', gcond', dw1..., dw2...) where the
+    weight-grad tuples are (dw_in, db_in, dw_out, db_out) per layer.
+    """
+    w_in1, _b1, w_out1, _bo1 = pk1
+    w_in2, _b2, w_out2, _bo2 = pk2
+    bsz, lp, n_res = x1.shape
+    p_len = cond.shape[1]
+    lpad = lp - p_len
+    rpad = gxprev.shape[1] - lp
+    n_cond_pad = cond.shape[-1]
+    n_dil = w_in1.shape[-1] // 2
+    n_skp = gskip.shape[-1]
+    xin_w = 2 * n_res + n_cond_pad
+    tt = tile
+    nt = p_len // tt - t_min
+    dd1_pad = _round_up(dd1, 16)
+    dd2_pad = _round_up(dd2, 16)
+    pdd_pad = _round_up(prev_dd, 16) if prev_dd else 0
+    lpad_blk = lpad // tt
+    assert lpad % tt == 0 and dd1_pad <= lpad and dd2_pad <= lpad
+    assert pdd_pad <= rpad and 0 < dd2 < tt
+
+    def kernel(x1_hbm, x2_hbm, gxp_hbm, cond_ref, gxc_ref, gsk_ref,
+               gcond_ref, wi1, wo1, wi2, wo2, y1_ref, y2_ref,
+               gxc_out_ref, gxp_out_ref, gcond_out_ref,
+               dwi1_ref, dbi1_ref, dwo1_ref, dbo1_ref,
+               dwi2_ref, dbi2_ref, dwo2_ref, dbo2_ref,
+               x1_scr, x2_scr, gxp_scr, xin_scr, head_scr, rd_sems):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        rt = nt - 1 - t          # descending tile order
+        is_first = (b == 0) & (t == 0)
+
+        def rd(hbm, scr, bb, tile_rt, slot, halo_pad, sem):
+            start = lpad - halo_pad + (t_min + tile_rt) * tt
+            return pltpu.make_async_copy(
+                hbm.at[bb, pl.ds(start, tt + halo_pad), :],
+                scr.at[slot], rd_sems.at[slot, sem])
+
+        def rd_gxp(bb, tile_rt, slot):
+            start = lpad + (t_min + tile_rt) * tt
+            return pltpu.make_async_copy(
+                gxp_hbm.at[bb, pl.ds(start, tt + pdd_pad), :],
+                gxp_scr.at[slot], rd_sems.at[slot, 2])
+
+        @pl.when(t == 0)
+        def _():
+            rd(x1_hbm, x1_scr, b, rt, 0, dd1_pad, 0).start()
+            rd(x2_hbm, x2_scr, b, rt, 0, dd2_pad, 1).start()
+            if prev_dd:
+                rd_gxp(b, rt, 0).start()
+
+        @pl.when(t + 1 < nt)
+        def _():
+            rd(x1_hbm, x1_scr, b, rt - 1, (t + 1) % 2, dd1_pad, 0).start()
+            rd(x2_hbm, x2_scr, b, rt - 1, (t + 1) % 2, dd2_pad, 1).start()
+            if prev_dd:
+                rd_gxp(b, rt - 1, (t + 1) % 2).start()
+
+        slot = jax.lax.rem(t, 2)
+        rd(x1_hbm, x1_scr, b, rt, slot, dd1_pad, 0).wait()
+        rd(x2_hbm, x2_scr, b, rt, slot, dd2_pad, 1).wait()
+        if prev_dd:
+            rd_gxp(b, rt, slot).wait()
+
+        t0 = (t_min + rt) * tt
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0) + t0
+
+        @pl.when(is_first)
+        def _():
+            for ref in (dwi1_ref, dbi1_ref, dwo1_ref, dbo1_ref,
+                        dwi2_ref, dbi2_ref, dwo2_ref, dbo2_ref):
+                ref[:] = jnp.zeros_like(ref)
+
+        # ================= layer 2 (upper) backward =================
+        valid2 = rows >= valid_lo2
+        xin_scr[:, :n_res] = x2_scr[slot, dd2_pad - dd2 : dd2_pad - dd2 + tt, :]
+        xin_scr[:, n_res : 2 * n_res] = x2_scr[slot, dd2_pad:, :]
+        xin_scr[:, 2 * n_res :] = cond_ref[0]
+        xin2 = jnp.where(valid2, xin_scr[:], 0).astype(jnp.bfloat16)
+        y2 = jnp.where(valid2, y2_ref[0].astype(jnp.float32), 0.0)
+        tf2 = jnp.tanh(y2[:, :n_dil])
+        sg2 = jax.nn.sigmoid(y2[:, n_dil:])
+        h2 = (tf2 * sg2).astype(jnp.bfloat16)
+
+        gxn2 = jnp.where(rows >= cur_valid_lo,
+                         gxc_ref[0].astype(jnp.float32), 0.0)
+        if prev_dd:
+            gp_hi = gxp_scr[slot, prev_dd : prev_dd + tt, :]
+            gxn2 = gxn2 + jnp.where(rows + prev_dd < p_len,
+                                    gp_hi.astype(jnp.float32), 0.0)
+        gxn2 = jnp.where(valid2, gxn2, 0.0)
+        gsk2 = jnp.where(valid2, gsk_ref[0].astype(jnp.float32), 0.0)
+        g_out2 = jnp.concatenate([gxn2, gsk2], axis=-1).astype(jnp.bfloat16)
+        g_h2 = jnp.dot(g_out2, wo2[:].T, preferred_element_type=jnp.float32)
+        g_f2 = g_h2 * sg2 * (1.0 - tf2 * tf2)
+        g_g2 = g_h2 * tf2 * sg2 * (1.0 - sg2)
+        g_y2 = jnp.concatenate([g_f2, g_g2], axis=-1).astype(jnp.bfloat16)
+        g_xin2 = jnp.dot(g_y2, wi2[:].T, preferred_element_type=jnp.float32)
+
+        dwi2_ref[:] += jnp.dot(xin2.T, g_y2,
+                               preferred_element_type=jnp.float32)
+        dbi2_ref[:] += jnp.sum(g_y2.astype(jnp.float32), 0, keepdims=True)
+        dwo2_ref[:] += jnp.dot(h2.T, g_out2,
+                               preferred_element_type=jnp.float32)
+        dbo2_ref[:] += jnp.sum(g_out2.astype(jnp.float32), 0, keepdims=True)
+
+        # ---- layer 1's upstream cotangent, assembled in VMEM:
+        # identity+cur at row q, plus layer 2's prev-tap term produced at
+        # row q + dd2 (fresh below the tile top, persistent head above it)
+        cur2 = gxn2 + g_xin2[:, n_res : 2 * n_res]
+        prev2 = jnp.concatenate(
+            [g_xin2[dd2:, :n_res], head_scr[:].astype(jnp.float32)], axis=0)
+        prev2 = jnp.where(rows + dd2 < p_len, prev2, 0.0)
+        head_scr[:] = g_xin2[:dd2, :n_res].astype(jnp.float32)
+
+        # ================= layer 1 (lower) backward =================
+        valid1 = rows >= valid_lo1
+        xin_scr[:, :n_res] = x1_scr[slot, dd1_pad - dd1 : dd1_pad - dd1 + tt, :]
+        xin_scr[:, n_res : 2 * n_res] = x1_scr[slot, dd1_pad:, :]
+        xin1 = jnp.where(valid1, xin_scr[:], 0).astype(jnp.bfloat16)
+        y1 = jnp.where(valid1, y1_ref[0].astype(jnp.float32), 0.0)
+        tf1 = jnp.tanh(y1[:, :n_dil])
+        sg1 = jax.nn.sigmoid(y1[:, n_dil:])
+        h1 = (tf1 * sg1).astype(jnp.bfloat16)
+
+        gxn1 = jnp.where(valid1, cur2 + prev2, 0.0)
+        gsk1 = jnp.where(valid1, gsk_ref[0].astype(jnp.float32), 0.0)
+        g_out1 = jnp.concatenate([gxn1, gsk1], axis=-1).astype(jnp.bfloat16)
+        g_h1 = jnp.dot(g_out1, wo1[:].T, preferred_element_type=jnp.float32)
+        g_f1 = g_h1 * sg1 * (1.0 - tf1 * tf1)
+        g_g1 = g_h1 * tf1 * sg1 * (1.0 - sg1)
+        g_y1 = jnp.concatenate([g_f1, g_g1], axis=-1).astype(jnp.bfloat16)
+        g_xin1 = jnp.dot(g_y1, wi1[:].T, preferred_element_type=jnp.float32)
+
+        dwi1_ref[:] += jnp.dot(xin1.T, g_y1,
+                               preferred_element_type=jnp.float32)
+        dbi1_ref[:] += jnp.sum(g_y1.astype(jnp.float32), 0, keepdims=True)
+        dwo1_ref[:] += jnp.dot(h1.T, g_out1,
+                               preferred_element_type=jnp.float32)
+        dbo1_ref[:] += jnp.sum(g_out1.astype(jnp.float32), 0, keepdims=True)
+
+        gxc_out_ref[0] = (gxn1 + g_xin1[:, n_res : 2 * n_res]
+                          ).astype(jnp.bfloat16)
+        gxp_out_ref[0] = g_xin1[:, :n_res].astype(jnp.bfloat16)
+        gcond_out_ref[0] = (gcond_ref[0] + g_xin1[:, 2 * n_res :]
+                            + g_xin2[:, 2 * n_res :])
+
+    def spec(c, off=0):
+        return pl.BlockSpec(
+            (1, tt, c),
+            lambda b, t, _o=off: (b, _o + t_min + (nt - 1 - t), 0),
+            memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    vw = pl.BlockSpec(memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x1 (manual halo)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x2 (manual halo)
+            pl.BlockSpec(memory_space=pltpu.ANY),    # gxprev (manual halo)
+            spec(n_cond_pad),                        # cond tile
+            spec(n_res, off=lpad_blk),               # gxcur tile
+            spec(n_skp),                             # gskip tile
+            spec(n_cond_pad),                        # gcond tile (aliased)
+            vw, vw, vw, vw,                          # wi1 wo1 wi2 wo2
+            spec(2 * n_dil),                         # y1 tile
+            spec(2 * n_dil),                         # y2 tile
+        ],
+        out_specs=[
+            spec(n_res, off=lpad_blk),               # gxcur'
+            spec(n_res, off=lpad_blk),               # gxprev'
+            spec(n_cond_pad),                        # gcond'
+            wspec((xin_w, 2 * n_dil)), wspec((1, 2 * n_dil)),
+            wspec((n_dil, n_res + n_skp)), wspec((1, n_res + n_skp)),
+            wspec((xin_w, 2 * n_dil)), wspec((1, 2 * n_dil)),
+            wspec((n_dil, n_res + n_skp)), wspec((1, n_res + n_skp)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, lp, n_res), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bsz, lp + rpad, n_res), jnp.bfloat16),
+            jax.ShapeDtypeStruct(gcond.shape, jnp.float32),
+            jax.ShapeDtypeStruct((xin_w, 2 * n_dil), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * n_dil), jnp.float32),
+            jax.ShapeDtypeStruct((n_dil, n_res + n_skp), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_res + n_skp), jnp.float32),
+            jax.ShapeDtypeStruct((xin_w, 2 * n_dil), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * n_dil), jnp.float32),
+            jax.ShapeDtypeStruct((n_dil, n_res + n_skp), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_res + n_skp), jnp.float32),
+        ],
+        input_output_aliases={6: 2},                 # gcond in -> out
+        scratch_shapes=[
+            pltpu.VMEM((2, tt + dd1_pad, n_res), jnp.bfloat16),
+            pltpu.VMEM((2, tt + dd2_pad, n_res), jnp.bfloat16),
+            pltpu.VMEM((2, tt + pdd_pad, n_res), jnp.bfloat16),
+            pltpu.VMEM((tt, xin_w), jnp.bfloat16),
+            pltpu.VMEM((dd2, n_res), jnp.float32),   # persistent head
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=100 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x1, x2, gxprev, cond, gxcur, gskip, gcond,
+      w_in1, w_out1, w_in2, w_out2, y1, y2)
+    return outs
+
+
 @functools.lru_cache(maxsize=64)
 def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
-                interpret: bool, save_y: bool = True):
+                interpret: bool, save_y: bool = True,
+                fuse_pairs: bool = False):
     """custom_vjp'd fused stack: (x0, cond_buf, packed_weights) -> skip_buf.
 
     Forward runs the fused layers; backward runs :func:`gated_layer_bwd` in
@@ -509,10 +890,29 @@ def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
         bsz = x.shape[0]
         skip = jnp.zeros((bsz, p_len, n_skp), jnp.float32)
         xs, ys = [], []
-        for i, dd in enumerate(dils):
+        i = 0
+        while i < len(dils):
+            dd = dils[i]
+            pair = (fuse_pairs and i + 1 < len(dils)
+                    and 0 < dils[i + 1] < tt)
             if save:
                 xs.append(x)
             _ty, t_min = layer_geo(i)
+            if pair:
+                outs = gated_pair_fused(
+                    x, cond_buf, skip, packed[i], packed[i + 1],
+                    dd1=dd, dd2=dils[i + 1], t_min=t_min, tile=tt,
+                    interpret=interpret, save_y=save and save_y,
+                )
+                if save and save_y:
+                    mid, x, skip, y1, y2 = outs
+                    ys.extend((y1, y2))
+                else:
+                    mid, x, skip = outs
+                if save:
+                    xs.append(mid)
+                i += 2
+                continue
             w_in, b_in, w_out, b_out = packed[i]
             outs = gated_layer_fused(
                 x, cond_buf, skip, w_in, b_in, w_out, b_out,
@@ -524,6 +924,7 @@ def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
                 ys.append(y)
             else:
                 x, skip = outs
+            i += 1
         return skip, tuple(xs), tuple(ys)
 
     @jax.custom_vjp
@@ -544,23 +945,54 @@ def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
         gxprev = jnp.zeros((bsz, lp + rpad, n_res), jnp.bfloat16)
         gcond = jnp.zeros((bsz, p_len, ncp), jnp.float32)
         dpacked = [None] * len(dils)
-        for i in reversed(range(len(dils))):
-            dd = dils[i]
-            prev_dd = dils[i + 1] if i + 1 < len(dils) else 0
+        # segmentation must mirror run_fwd's greedy pairing; a pair segment
+        # additionally requires save_y (the pair bwd has no recompute path)
+        # and dd2 < tt_bwd (the persistent head must fit one tile back)
+        segs, i = [], 0
+        while i < len(dils):
+            if (fuse_pairs and i + 1 < len(dils) and 0 < dils[i + 1] < tt
+                    and save_y and dils[i + 1] < tt_bwd):
+                segs.append((i, i + 1))
+                i += 2
+            else:
+                segs.append((i,))
+                i += 1
+
+        def qb(dwi, dbi, dwo, dbo):
+            return (dwi.astype(jnp.bfloat16), dbi.astype(jnp.float32),
+                    dwo.astype(jnp.bfloat16), dbo.astype(jnp.float32))
+
+        for seg in reversed(segs):
+            i = seg[0]
+            j = seg[-1]                       # upper layer of the segment
+            prev_dd = dils[j + 1] if j + 1 < len(dils) else 0
+            # gxcur's producer is layer j+1's bwd, defined on ITS lattice
+            cur_valid_lo = (p_len - layer_geo(j + 1)[0]
+                            if j + 1 < len(dils) else p_len)
             ty, t_min = layer_geo(i, tt_bwd)
-            # gxcur's producer is layer i+1's bwd, defined on ITS out lattice
-            cur_valid_lo = (p_len - layer_geo(i + 1)[0]
-                            if i + 1 < len(dils) else p_len)
+            if len(seg) == 2:
+                (gxcur, gxprev, gcond, dwi1, dbi1, dwo1, dbo1,
+                 dwi2, dbi2, dwo2, dbo2) = gated_pair_bwd(
+                    xs[i], xs[i + 1], cond_buf, gxcur, gxprev, gskip,
+                    gcond, packed[i], packed[i + 1], ys[i], ys[i + 1],
+                    dd1=dils[i], dd2=dils[i + 1], prev_dd=prev_dd,
+                    t_min=t_min, valid_lo1=p_len - ty,
+                    valid_lo2=p_len - layer_geo(i + 1)[0],
+                    cur_valid_lo=cur_valid_lo, tile=tt_bwd,
+                    interpret=interpret,
+                )
+                dpacked[i] = qb(dwi1, dbi1, dwo1, dbo1)
+                dpacked[i + 1] = qb(dwi2, dbi2, dwo2, dbo2)
+                continue
             w_in, b_in, w_out, _b_out = packed[i]
             gxcur, gxprev, gcond, dwi, dbi, dwo, dbo = gated_layer_bwd(
                 xs[i], cond_buf, gxcur, gxprev, gskip, gcond, w_in, w_out,
-                b_in, dd=dd, prev_dd=prev_dd, t_min=t_min,
+                b_in, dd=dils[i], prev_dd=prev_dd, t_min=t_min,
                 valid_lo=p_len - ty, cur_valid_lo=cur_valid_lo,
                 tile=tt_bwd, interpret=interpret,
                 y_saved=ys[i] if save_y else None,
             )
-            dpacked[i] = (dwi.astype(jnp.bfloat16), dbi.astype(jnp.float32),
-                          dwo.astype(jnp.bfloat16), dbo.astype(jnp.float32))
+            dpacked[i] = qb(dwi, dbi, dwo, dbo)
         # fold the first layer's prev-tap grads into the x0 cotangent.
         # Rows outside each buffer's written/defined region are junk and are
         # masked to their true value (zero): gxcur below the first layer's

@@ -31,16 +31,18 @@ def _inputs(t_out, batch=2, seed=0):
     return params, x_ids, cond, spk
 
 
-@pytest.mark.parametrize("t_out,tile", [
-    (170, 64),   # ragged head tile (tile does not divide any layer length)
-    (128, 64),   # t_out a multiple of tile (lengths still vary per layer)
-    (70, 128),   # single tile per layer (tile > every layer length)
+@pytest.mark.parametrize("t_out,tile,fuse_pairs", [
+    (170, 64, False),  # ragged head tile (tile divides no layer length)
+    (128, 64, False),  # t_out a multiple of tile (lengths still vary)
+    (70, 128, False),  # single tile per layer (tile > every layer length)
+    (170, 64, True),   # two-layer pair fusion (persistent VMEM tail)
+    (70, 128, True),   # pairs at a single tile per layer
 ])
-def test_stack_matches_xla(t_out, tile):
+def test_stack_matches_xla(t_out, tile, fuse_pairs):
     params, x_ids, cond, spk = _inputs(t_out)
     ref = wavenet.apply(params, CFG, x_ids, cond, spk, dtype=jnp.bfloat16)
     got = gp.stack_apply(params, CFG, x_ids, cond, spk, tile=tile,
-                         interpret=True)
+                         interpret=True, fuse_pairs=fuse_pairs)
     assert got.shape == ref.shape
     d = np.abs(np.asarray(ref, np.float32) - np.asarray(got, np.float32))
     assert d.max() < 0.02, d.max()   # bf16 reduction-order tolerance
@@ -96,6 +98,37 @@ def test_stack_grads_match_xla():
     rms_pal = float(np.sqrt(((fp - f32) ** 2).mean()))
     # measured: pallas 4.3e-7 vs xla-bf16 5.3e-7 (f32 in-kernel dW accum)
     assert rms_pal < 3.0 * rms_xla + 1e-8, (rms_pal, rms_xla)
+
+
+def test_pair_fused_grads_match_xla():
+    """Pair-fused forward + pair-fused backward (gated_pair_fused /
+    gated_pair_bwd: inter-layer streams in VMEM, descending-tile persistent
+    head) vs jax.grad of the XLA stack."""
+    params, x_ids, cond, spk = _inputs(170)
+    t_out = 170
+    probe = jax.random.normal(jax.random.PRNGKey(9),
+                              (x_ids.shape[0], CFG.n_quant, t_out))
+
+    def loss_xla(p, c):
+        out = wavenet.apply(p, CFG, x_ids, c, spk, dtype=jnp.bfloat16)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    def loss_pal(p, c):
+        out = gp.stack_apply(p, CFG, x_ids, c, spk, tile=64,
+                             interpret=True, fuse_pairs=True)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    gx = jax.grad(loss_xla, argnums=(0, 1))(params, cond)
+    gpl = jax.grad(loss_pal, argnums=(0, 1))(params, cond)
+
+    def flat(t):
+        return np.concatenate(
+            [np.asarray(x, np.float32).ravel() for x in jax.tree.leaves(t)])
+
+    fx, fp = flat(gx), flat(gpl)
+    assert np.isfinite(fp).all()
+    scale = np.abs(fx).max() + 1e-9
+    assert np.abs(fp - fx).max() / scale < 0.05, np.abs(fp - fx).max() / scale
 
 
 def test_stack_grads_nonzero_bias():

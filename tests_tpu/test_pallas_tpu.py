@@ -204,6 +204,52 @@ def test_compiled_gated_stack_matches_xla():
     assert d.max() < 0.05, d.max()
 
 
+def test_compiled_gated_pair_stack_matches_xla():
+    """Compiled two-layer pair fusion (gated_pair_fused: persistent VMEM
+    tail across sequential grid steps) at flagship dims incl. the (256, 512)
+    dilation pair — forward AND custom_vjp backward vs XLA."""
+    from ae_wavenet_tpu.ops import gated_pallas as gp
+
+    cfg = CFG
+    t_out, batch = 4000, 4
+    t_in = t_out + RF
+    params = wavenet.init(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(7)
+    x_ids = jnp.asarray(rng.integers(0, cfg.n_quant, (batch, t_in)), jnp.int32)
+    cond = jnp.asarray(rng.normal(size=(batch, cfg.n_lc_out, t_in)) * 0.5,
+                       jnp.float32)
+    spk = jnp.asarray(rng.integers(0, cfg.n_speakers, (batch,)), jnp.int32)
+    probe = jnp.asarray(rng.normal(size=(batch, cfg.n_quant, t_out)) * 0.1,
+                        jnp.float32)
+
+    ref = wavenet.apply(params, cfg, x_ids, cond, spk, dtype=jnp.bfloat16)
+    got = gp.stack_apply(params, cfg, x_ids, cond, spk, tile=1024,
+                         fuse_pairs=True)
+    d = np.abs(np.asarray(ref, np.float32) - np.asarray(got, np.float32))
+    assert d.max() < 0.05, d.max()
+
+    def loss_xla(p, c):
+        out = wavenet.apply(p, cfg, x_ids, c, spk, dtype=jnp.bfloat16)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    def loss_pal(p, c):
+        out = gp.stack_apply(p, cfg, x_ids, c, spk, tile=1024,
+                             fuse_pairs=True)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))(params, cond)
+    gpl = jax.jit(jax.grad(loss_pal, argnums=(0, 1)))(params, cond)
+
+    def flat(t):
+        return np.concatenate(
+            [np.asarray(x, np.float32).ravel() for x in jax.tree.leaves(t)])
+
+    fx, fp = flat(gx), flat(gpl)
+    assert np.isfinite(fp).all()
+    scale = np.abs(fx).max() + 1e-9
+    assert np.abs(fp - fx).max() / scale < 0.05, np.abs(fp - fx).max() / scale
+
+
 def test_compiled_gated_stack_grads():
     """Compiled fused forward+backward (custom_vjp) vs XLA grads on TPU."""
     from ae_wavenet_tpu.ops import gated_pallas as gp
