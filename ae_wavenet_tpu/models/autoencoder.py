@@ -33,7 +33,8 @@ from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_encode
 from ae_wavenet_tpu.geometry.vconv import Chain, Range
 from ae_wavenet_tpu.models import bottlenecks, encoder, wavenet
 from ae_wavenet_tpu.models.common import (  # re-exported API
-    WindowSpec, make_window_spec as _make_window_spec, normalize_frames,
+    WindowSpec, make_window_spec as _make_window_spec, mu_ce,
+    normalize_frames,
 )
 from ae_wavenet_tpu.utils.config import RunConfig
 
@@ -100,8 +101,12 @@ def forward(
     )
     ids = mu_encode(wav, cfg.wavenet.n_quant)
     x_ids = ids[..., spec.w0 : spec.w0 + spec.t_in]
+    # time-major logits when the fused Pallas stack is active: its native
+    # layout, and mu_ce consumes it without the [B, Q, T] transpose
+    btq = cfg.wavenet.use_pallas_stack and dtype == jnp.bfloat16
     logits = wavenet.apply(
-        params["wavenet"], cfg.wavenet, x_ids, cond, spk, dtype=dtype
+        params["wavenet"], cfg.wavenet, x_ids, cond, spk, dtype=dtype,
+        btq=btq,
     )
     targets = ids[..., spec.tgt_b : spec.tgt_b + spec.n_win]
     return logits, targets, new_bn_state, aux
@@ -167,9 +172,9 @@ def loss_fn(
     logits, targets, new_bn_state, aux = forward(
         params, bn_state, cfg, spec, wav_i16, spk, rng, step, train, axis_name
     )
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
-    ce = -jnp.take_along_axis(logp, targets[:, None, :], axis=1)
-    recon = jnp.mean(ce)
+    btq = (cfg.wavenet.use_pallas_stack
+           and cfg.train.compute_dtype == "bfloat16")
+    recon = mu_ce(logits, targets, btq=btq)
     total = recon + aux.get("bn_loss", 0.0)
     metrics = {"loss": total, "recon_ce": recon, **aux}
     return total, (new_bn_state, metrics)

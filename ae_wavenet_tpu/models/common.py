@@ -36,6 +36,24 @@ class WindowSpec:
         return self.w0 + 1 + self.rf
 
 
+def mu_ce(logits: jax.Array, targets: jax.Array, btq: bool = False) -> jax.Array:
+    """Mean mu-law cross-entropy (reference loss: 256-way softmax CE).
+
+    btq=True: logits are time-major [B, T, Q] — the fused Pallas stack's
+    native layout (models/wavenet.apply(btq=True)).  The logsumexp
+    formulation keeps the softmax reduction on the 128-lane axis and lets
+    XLA fuse it with the gather — no [B, Q, T] transpose and no
+    materialized log-probability tensor.  btq=False: channel-major
+    [B, Q, T] (the XLA stack's native layout)."""
+    lg = logits.astype(jnp.float32)
+    if btq:
+        lse = jax.nn.logsumexp(lg, axis=-1)
+        picked = jnp.take_along_axis(lg, targets[..., None], axis=-1)[..., 0]
+        return jnp.mean(lse - picked)
+    logp = jax.nn.log_softmax(lg, axis=1)
+    return jnp.mean(-jnp.take_along_axis(logp, targets[:, None, :], axis=1))
+
+
 def make_window_spec(cfg: RunConfig, chain: Chain, n_win: int | None,
                      what: str) -> WindowSpec:
     """Build the static window layout for a cond chain ``frontend + ... +

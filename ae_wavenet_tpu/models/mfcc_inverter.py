@@ -18,7 +18,8 @@ from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_encode
 from ae_wavenet_tpu.geometry.vconv import Chain, Range
 from ae_wavenet_tpu.models import wavenet
 from ae_wavenet_tpu.models.common import (
-    WindowSpec, make_window_spec as _make_window_spec, normalize_frames,
+    WindowSpec, make_window_spec as _make_window_spec, mu_ce,
+    normalize_frames,
 )
 from ae_wavenet_tpu.utils.config import RunConfig
 
@@ -50,7 +51,9 @@ def forward(params, bn_state, cfg: RunConfig, spec: WindowSpec,
     )
     ids = mu_encode(wav, cfg.wavenet.n_quant)
     x_ids = ids[..., spec.w0 : spec.w0 + spec.t_in]
-    logits = wavenet.apply(params["wavenet"], cfg.wavenet, x_ids, cond, spk, dtype=dtype)
+    btq = cfg.wavenet.use_pallas_stack and dtype == jnp.bfloat16
+    logits = wavenet.apply(params["wavenet"], cfg.wavenet, x_ids, cond, spk,
+                           dtype=dtype, btq=btq)
     targets = ids[..., spec.tgt_b : spec.tgt_b + spec.n_win]
     return logits, targets, {}, {}
 
@@ -60,9 +63,9 @@ def loss_fn(params, bn_state, cfg, spec, wav_i16, spk, rng, step, train=True,
     logits, targets, new_bn_state, aux = forward(
         params, bn_state, cfg, spec, wav_i16, spk, rng, step, train
     )
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
-    ce = -jnp.take_along_axis(logp, targets[:, None, :], axis=1)
-    recon = jnp.mean(ce)
+    btq = (cfg.wavenet.use_pallas_stack
+           and cfg.train.compute_dtype == "bfloat16")
+    recon = mu_ce(logits, targets, btq=btq)
     metrics = {"loss": recon, "recon_ce": recon}
     return recon, (new_bn_state, metrics)
 

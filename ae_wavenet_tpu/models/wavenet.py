@@ -159,12 +159,17 @@ def apply(
     gc_ids: jax.Array | None = None,  # [B] speaker ids
     *,
     dtype=jnp.float32,
+    btq: bool = False,
 ) -> jax.Array:
     """Teacher-forcing forward: logits [B, n_quant, T_in - receptive_field].
 
     Position contract: input position p holds sample x[p]; output position j
     of the stack corresponds to input position j + RF and predicts x[j+RF+1]
-    (the caller shifts targets; see autoencoder.WindowSpec)."""
+    (the caller shifts targets; see autoencoder.WindowSpec).
+
+    btq: return logits time-major [B, T_out, n_quant] instead — the fused
+    Pallas stack's native layout, letting the loss skip a [B, Q, T]
+    transpose (models/common.mu_ce consumes either layout)."""
     if cfg.filter_sz != 2:
         raise NotImplementedError("the two-tap matmul path requires filter_sz=2")
     rf = receptive_field(cfg)
@@ -176,7 +181,7 @@ def apply(
 
         if (gp.supports_pallas_stack(cfg, t_in)
                 and jax.devices()[0].platform == "tpu"):
-            return gp.stack_apply(params, cfg, x_ids, cond, gc_ids)
+            return gp.stack_apply(params, cfg, x_ids, cond, gc_ids, btq=btq)
 
     x = jnp.take(params["embed"], x_ids, axis=0)  # [B, T, n_res]
     # residual stream runs in the compute dtype: the [B, n_res, T] tensor is
@@ -215,4 +220,6 @@ def apply(
     h = jax.nn.relu(skip)
     h = jax.nn.relu(_mm(params["post1"], h, dtype))
     logits = _mm(params["post2"], h, dtype)
+    if btq:
+        return jnp.transpose(logits, (0, 2, 1))
     return logits

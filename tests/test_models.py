@@ -181,3 +181,19 @@ def test_encoder_matches_geometry():
     x = jax.random.normal(jax.random.PRNGKey(1), (2, cfg.n_in, 57))
     z = encoder.apply(params, cfg, x)
     assert z.shape == (2, 8, encoder.geometry(cfg).out_len(57))
+
+
+def test_mu_ce_layouts_agree():
+    """models/common.mu_ce: the time-major logsumexp formulation (fused
+    Pallas stack's native [B, T, Q] layout) == the channel-major
+    log_softmax one."""
+    import numpy as _np
+    import jax.numpy as _jnp
+    from ae_wavenet_tpu.models import common as _common
+
+    rng = _np.random.default_rng(0)
+    logits = _jnp.asarray(rng.normal(size=(2, 7, 50)) * 3, _jnp.float32)
+    targets = _jnp.asarray(rng.integers(0, 7, (2, 50)), _jnp.int32)
+    a = _common.mu_ce(logits, targets, btq=False)
+    b = _common.mu_ce(_jnp.transpose(logits, (0, 2, 1)), targets, btq=True)
+    _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b), rtol=1e-6)
