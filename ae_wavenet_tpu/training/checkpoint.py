@@ -26,17 +26,29 @@ from ae_wavenet_tpu.utils import config as config_mod
 
 
 def save(ckpt_dir: str, step: int, tree: dict, cfg: config_mod.RunConfig) -> str:
-    """tree: {'params', 'opt_state', 'bn_state'} (any pytree of arrays)."""
+    """tree: {'params', 'opt_state', 'bn_state'} (any pytree of arrays).
+
+    Multi-host: EVERY process calls the (multihost-aware) orbax save — its
+    internal barriers require all processes, and with the fully-replicated
+    host tree its primary-host logic writes each array once — while the
+    JSON sidecars are written by process 0 alone (the reference's
+    ``xm.save`` master-ordinal pattern [SURVEY.md §3.1]); a final global
+    sync keeps any host from acting on a half-written checkpoint."""
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
     os.makedirs(ckpt_dir, exist_ok=True)
     with ocp.PyTreeCheckpointer() as ckptr:
         # force=True makes save idempotent (e.g. a preemption save followed
         # by the CLI's final save at the same step)
         ckptr.save(path, jax.device_get(tree), force=True)
-    with open(os.path.join(path, "run_config.json"), "w") as f:
-        f.write(config_mod.to_json(cfg))
-    with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
-        f.write(str(step))
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "run_config.json"), "w") as f:
+            f.write(config_mod.to_json(cfg))
+        with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
+            f.write(str(step))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_save_{step}")
     return path
 
 

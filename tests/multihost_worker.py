@@ -45,15 +45,25 @@ def main() -> int:
         cfg, train=dataclasses.replace(cfg.train, batch_sz=4, log_every=1)
     )
     mesh = mesh_mod.make_mesh()
-    ch = Chassis(cfg, data_prefix, mesh=mesh,
+    ckpt_dir = os.path.join(os.path.dirname(out_path), "ckpt")
+    ch = Chassis(cfg, data_prefix, ckpt_dir=ckpt_dir, mesh=mesh,
                  log_stream=open(os.devnull, "w"))
     history = ch.train(2)
+    # multi-host checkpoint contract: process 0 writes, everyone
+    # synchronizes (training/checkpoint.py), and every process can resume
+    ch.save()
+    ch2 = Chassis(cfg, data_prefix, ckpt_dir=ckpt_dir, mesh=mesh,
+                  log_stream=open(os.devnull, "w"))
+    resumed = ch2.resume()
+    history2 = ch2.train(1)
     with open(out_path, "w") as f:
         json.dump(
             {
                 "pid": pid,
                 "losses": [h["loss"] for h in history],
                 "grad_norms": [h["grad_norm"] for h in history],
+                "resumed_step": resumed,
+                "post_resume_loss": history2[-1]["loss"],
             },
             f,
         )

@@ -73,6 +73,12 @@ def test_two_process_dp_matches_single_process(tmp_path, synth_data):
     # global pmean'd metrics: identical on every process
     np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
                                rtol=0, atol=0)
+    # checkpoint contract: process 0 wrote, both resumed at the same step
+    # and the post-resume step agrees (replicated state restored identically)
+    assert results[0]["resumed_step"] == results[1]["resumed_step"] == 2
+    np.testing.assert_allclose(results[0]["post_resume_loss"],
+                               results[1]["post_resume_loss"],
+                               rtol=0, atol=0)
 
     # and equal to a single-process 4-device mesh run of the same config
     import dataclasses
