@@ -131,6 +131,55 @@ def test_pair_fused_grads_match_xla():
     assert np.abs(fp - fx).max() / scale < 0.05, np.abs(fp - fx).max() / scale
 
 
+def test_pair_fused_odd_layers_and_recompute_bwd():
+    """Pair fusion with an ODD layer count (trailing single layer) and with
+    save_y off (paired forward + per-layer recompute backward): both fall
+    back correctly around the pair segmentation."""
+    cfg = WaveNetConfig(n_blocks=1, n_block_layers=5, n_res=128, n_dil=128,
+                        n_skp=128, n_post=128, n_quant=256, n_lc_in=16,
+                        n_lc_out=64, n_speakers=8, n_global_embed=16)
+    rf = wavenet.receptive_field(cfg)
+    t_out = 96
+    t_in = t_out + rf
+    params = wavenet.init(jax.random.PRNGKey(3), cfg)
+    x_ids = jax.random.randint(jax.random.PRNGKey(4), (2, t_in), 0, 256)
+    cond = jax.random.normal(jax.random.PRNGKey(5),
+                             (2, cfg.n_lc_out, t_in)) * 0.5
+    spk = jax.random.randint(jax.random.PRNGKey(6), (2,), 0, 8)
+    probe = jax.random.normal(jax.random.PRNGKey(9), (2, 256, t_out))
+
+    ref = wavenet.apply(params, cfg, x_ids, cond, spk, dtype=jnp.bfloat16)
+
+    def loss_xla(p, c):
+        out = wavenet.apply(p, cfg, x_ids, c, spk, dtype=jnp.bfloat16)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    gx = jax.grad(loss_xla, argnums=(0, 1))(params, cond)
+
+    def flat(t):
+        return np.concatenate(
+            [np.asarray(x, np.float32).ravel() for x in jax.tree.leaves(t)])
+
+    fx = flat(gx)
+    scale = np.abs(fx).max() + 1e-9
+    for save_y in (True, False):
+        got = gp.stack_apply(params, cfg, x_ids, cond, spk, tile=64,
+                             interpret=True, fuse_pairs=True, save_y=save_y)
+        d = np.abs(np.asarray(ref, np.float32) - np.asarray(got, np.float32))
+        assert d.max() < 0.02, (save_y, d.max())
+
+        def loss_pal(p, c, _s=save_y):
+            out = gp.stack_apply(p, cfg, x_ids, c, spk, tile=64,
+                                 interpret=True, fuse_pairs=True, save_y=_s)
+            return jnp.mean(out.astype(jnp.float32) * probe)
+
+        gpl = jax.grad(loss_pal, argnums=(0, 1))(params, cond)
+        fp = flat(gpl)
+        assert np.isfinite(fp).all()
+        err = np.abs(fp - fx).max() / scale
+        assert err < 0.05, (save_y, err)
+
+
 def test_stack_grads_nonzero_bias():
     """Regression: the backward must add b_in when rebuilding the gate
     pre-activations.  Freshly-initialized biases are zero, so the plain
