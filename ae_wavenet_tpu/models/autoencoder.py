@@ -33,7 +33,7 @@ from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_encode
 from ae_wavenet_tpu.geometry.vconv import Chain, Range
 from ae_wavenet_tpu.models import bottlenecks, encoder, wavenet
 from ae_wavenet_tpu.models.common import (  # re-exported API
-    WindowSpec, make_window_spec as _make_window_spec, mu_ce,
+    WindowSpec, btq_layout, make_window_spec as _make_window_spec, mu_ce,
     normalize_frames,
 )
 from ae_wavenet_tpu.utils.config import RunConfig
@@ -103,10 +103,9 @@ def forward(
     x_ids = ids[..., spec.w0 : spec.w0 + spec.t_in]
     # time-major logits when the fused Pallas stack is active: its native
     # layout, and mu_ce consumes it without the [B, Q, T] transpose
-    btq = cfg.wavenet.use_pallas_stack and dtype == jnp.bfloat16
     logits = wavenet.apply(
         params["wavenet"], cfg.wavenet, x_ids, cond, spk, dtype=dtype,
-        btq=btq,
+        btq=btq_layout(cfg),
     )
     targets = ids[..., spec.tgt_b : spec.tgt_b + spec.n_win]
     return logits, targets, new_bn_state, aux
@@ -172,9 +171,7 @@ def loss_fn(
     logits, targets, new_bn_state, aux = forward(
         params, bn_state, cfg, spec, wav_i16, spk, rng, step, train, axis_name
     )
-    btq = (cfg.wavenet.use_pallas_stack
-           and cfg.train.compute_dtype == "bfloat16")
-    recon = mu_ce(logits, targets, btq=btq)
+    recon = mu_ce(logits, targets, btq=btq_layout(cfg))
     total = recon + aux.get("bn_loss", 0.0)
     metrics = {"loss": total, "recon_ce": recon, **aux}
     return total, (new_bn_state, metrics)

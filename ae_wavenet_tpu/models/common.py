@@ -36,6 +36,16 @@ class WindowSpec:
         return self.w0 + 1 + self.rf
 
 
+def btq_layout(cfg: RunConfig) -> bool:
+    """True when training logits are time-major [B, T, Q].
+
+    The ONE place the layout predicate lives: wavenet.apply's btq argument
+    (producer) and mu_ce's btq argument (consumer) must both be driven by
+    this, or the two silently desynchronize."""
+    return (cfg.wavenet.use_pallas_stack
+            and cfg.train.compute_dtype == "bfloat16")
+
+
 def mu_ce(logits: jax.Array, targets: jax.Array, btq: bool = False) -> jax.Array:
     """Mean mu-law cross-entropy (reference loss: 256-way softmax CE).
 

@@ -18,7 +18,7 @@ from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_encode
 from ae_wavenet_tpu.geometry.vconv import Chain, Range
 from ae_wavenet_tpu.models import wavenet
 from ae_wavenet_tpu.models.common import (
-    WindowSpec, make_window_spec as _make_window_spec, mu_ce,
+    WindowSpec, btq_layout, make_window_spec as _make_window_spec, mu_ce,
     normalize_frames,
 )
 from ae_wavenet_tpu.utils.config import RunConfig
@@ -51,9 +51,8 @@ def forward(params, bn_state, cfg: RunConfig, spec: WindowSpec,
     )
     ids = mu_encode(wav, cfg.wavenet.n_quant)
     x_ids = ids[..., spec.w0 : spec.w0 + spec.t_in]
-    btq = cfg.wavenet.use_pallas_stack and dtype == jnp.bfloat16
     logits = wavenet.apply(params["wavenet"], cfg.wavenet, x_ids, cond, spk,
-                           dtype=dtype, btq=btq)
+                           dtype=dtype, btq=btq_layout(cfg))
     targets = ids[..., spec.tgt_b : spec.tgt_b + spec.n_win]
     return logits, targets, {}, {}
 
@@ -63,9 +62,7 @@ def loss_fn(params, bn_state, cfg, spec, wav_i16, spk, rng, step, train=True,
     logits, targets, new_bn_state, aux = forward(
         params, bn_state, cfg, spec, wav_i16, spk, rng, step, train
     )
-    btq = (cfg.wavenet.use_pallas_stack
-           and cfg.train.compute_dtype == "bfloat16")
-    recon = mu_ce(logits, targets, btq=btq)
+    recon = mu_ce(logits, targets, btq=btq_layout(cfg))
     metrics = {"loss": recon, "recon_ce": recon}
     return recon, (new_bn_state, metrics)
 

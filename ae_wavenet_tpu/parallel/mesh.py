@@ -32,6 +32,13 @@ def initialize_distributed(
     process per HOST, collectives compiled onto ICI intra-host and DCN
     across hosts by XLA.  Call before any other jax API touches the backend.
     """
+    if coordinator is None and (num_processes is not None
+                                or process_id is not None):
+        raise ValueError(
+            "num_processes/process_id require an explicit coordinator "
+            "address (without one, jax autodetects the topology and the "
+            "explicit values would be silently ignored)"
+        )
     kwargs = {}
     if coordinator is not None:
         kwargs.update(

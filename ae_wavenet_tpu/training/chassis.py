@@ -298,6 +298,26 @@ class Chassis:
             for sig in (signal.SIGTERM, signal.SIGINT):
                 old_handlers[sig] = signal.signal(sig, _handler)
 
+        multi = self.mesh is not None and jax.process_count() > 1
+
+        def stop_requested(s: int) -> bool:
+            # single-process: act on the local flag immediately.  Multi-host:
+            # checkpoint.save is a collective, so acting on a host-local flag
+            # would have hosts saving at DIFFERENT steps (barrier deadlock —
+            # the signal lands at a different loop iteration on each host).
+            # Instead every host joins an allgather of the flags at
+            # log_every boundaries (deterministic, identical on all hosts)
+            # and they stop together iff any host was signalled.
+            if not multi:
+                return stop["flag"]
+            if (s + 1) % t_cfg.log_every != 0:
+                return False
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray([stop["flag"]]))
+            return bool(np.asarray(flags).any())
+
         # Perfetto trace of the first profile_steps steps (utils/profiling)
         prof_stack = contextlib.ExitStack()
         profiling = False
@@ -342,7 +362,7 @@ class Chassis:
                     self.logger.log(self.step, ev)
                 if self.ckpt_dir and self.step % t_cfg.ckpt_every == 0:
                     self.save()
-                if stop["flag"]:
+                if stop_requested(s):
                     path = self.save()
                     self.logger.log(self.step,
                                     {"preempted_at": self.step, "saved": path})
