@@ -39,12 +39,13 @@ def main() -> int:
     from ae_wavenet_tpu.training.chassis import make_optimizer, make_train_step
     from ae_wavenet_tpu.utils.config import BottleneckConfig, RunConfig, TrainConfig
 
-    # defaults from the measured v5e sweep (BASELINE.md): long windows
-    # amortize the 2046-sample receptive-field halo and bf16 intermediates
-    # lift the HBM bound; b8 x 24000 -> 963k samples/s/chip (32k/48k exceed
-    # the compiler/memory budget)
-    batch_sz = int(os.environ.get("BENCH_BATCH", "8"))
-    n_win = int(os.environ.get("BENCH_NWIN", "24000"))
+    # defaults from the measured v5e sweeps (BASELINE.md): long windows
+    # amortize the 2046-sample receptive-field halo (b4 x 48000 = 96%
+    # window efficiency -> 1.74M samples/s/chip with the fused pair stack;
+    # b8 x 24000 1.66M; b8 x 32000 / b16 x 24000 exceed the compile/memory
+    # budget)
+    batch_sz = int(os.environ.get("BENCH_BATCH", "4"))
+    n_win = int(os.environ.get("BENCH_NWIN", "48000"))
     warmup = 3
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
