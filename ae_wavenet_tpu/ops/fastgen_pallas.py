@@ -31,7 +31,6 @@ tests/test_fastgen_pallas.py.
 from __future__ import annotations
 
 import functools
-import os
 from typing import NamedTuple, Tuple
 
 import numpy as np
@@ -246,8 +245,10 @@ def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
     # (loaded from the flat HBM state at t==0, written back at the last
     # step): removes 2 DMA issues/layer/step for nearly half the layers
     # rings with dilation <= this stay VMEM-resident (no per-step HBM DMA);
-    # 16 measured best on v5e (32 exceeds the VMEM budget) — BASELINE.md
-    VMEM_DIL_MAX = int(os.environ.get("FASTGEN_VMEM_DIL_MAX", "16"))
+    # 16 measured best on v5e (32 exceeds the VMEM budget) — BASELINE.md.
+    # A config field (not an env var) so the checkpoint's embedded config
+    # fully determines the generation computation.
+    VMEM_DIL_MAX = cfg.fastgen_vmem_dil_max
     small = [l for l in range(L) if dils[l] <= VMEM_DIL_MAX]
     loffs = {}
     _acc = 0

@@ -54,23 +54,36 @@ def _round_up(x: int, m: int) -> int:
 
 
 def supports_pallas_stack(cfg: WaveNetConfig, t_in: int,
-                          tile: int = 1024) -> bool:
+                          tile: int | None = None) -> bool:
+    """True when the fused stack can run this config at ``t_in``.
+
+    ``tile`` defaults to the ACTUAL tile the stack will use
+    (``cfg.gated_tile``) so this guard can never disagree with
+    :func:`stack_apply`'s grid construction."""
+    tile = cfg.gated_tile if tile is None else tile
     rf = (cfg.filter_sz - 1) * sum(cfg.dilations)
     ty_last = t_in - rf
+    bwd = cfg.gated_bwd_tile or tile
     return (
         cfg.filter_sz == 2
         and cfg.n_res % 128 == 0
         and cfg.n_dil % 128 == 0
         and cfg.n_skp % 128 == 0
         and ty_last >= tile
+        and tile % bwd == 0
         and max(cfg.dilations) * (cfg.filter_sz - 1) <= 512
     )
 
 
 def pack_stack_weights(params: dict, cfg: WaveNetConfig):
-    """Per-layer packed (w_in [XIN, 2*n_dil] bf16, b_in [1, 2*n_dil] f32,
-    w_out [n_dil, n_res+n_skp] bf16, b_out [1, ...] f32) with the cond rows
-    zero-padded to a 128-multiple."""
+    """Per-layer packed (w_in [XIN, 2*n_dil] f32, b_in [1, 2*n_dil] f32,
+    w_out [n_dil, n_res+n_skp] f32, b_out [1, ...] f32) with the cond rows
+    zero-padded to a 128-multiple.
+
+    Weights stay FLOAT32 here: the bf16 cast for the MXU happens inside the
+    kernel wrappers, BELOW the custom_vjp boundary, so the backward returns
+    f32 weight cotangents to the optimizer (matching the XLA path's grad
+    precision) instead of quantizing dw through bf16."""
     n_cond = cfg.n_lc_out + cfg.n_global_embed
     n_cond_pad = _round_up(n_cond, 128)
     packed = []
@@ -83,8 +96,8 @@ def pack_stack_weights(params: dict, cfg: WaveNetConfig):
         w_out = jnp.concatenate([p["w_res"]["w"], p["w_skip"]["w"]], axis=0).T
         b_out = jnp.concatenate([p["w_res"]["b"], p["w_skip"]["b"]])[None, :]
         packed.append((
-            w_in.astype(jnp.bfloat16), b_in.astype(jnp.float32),
-            w_out.astype(jnp.bfloat16), b_out.astype(jnp.float32),
+            w_in.astype(jnp.float32), b_in.astype(jnp.float32),
+            w_out.astype(jnp.float32), b_out.astype(jnp.float32),
         ))
     return packed
 
@@ -103,6 +116,8 @@ def gated_layer_fused(x, cond, skip, w_in, b_in, w_out, b_out, *, dd: int,
     — 28% of the backward FLOPs traded for one bf16 stream of HBM traffic
     (head-to-head in BASELINE.md).
     """
+    w_in = w_in.astype(jnp.bfloat16)      # MXU operands; grads stay f32
+    w_out = w_out.astype(jnp.bfloat16)    # (cast is below the custom_vjp)
     bsz, lp, n_res = x.shape
     p_len = cond.shape[1]
     lpad = lp - p_len
@@ -169,7 +184,7 @@ def gated_layer_fused(x, cond, skip, w_in, b_in, w_out, b_out, *, dd: int,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),        # x (manual halo DMA)
+            pl.BlockSpec(memory_space=pl.ANY),        # x (manual halo DMA)
             spec(n_cond_pad),                            # cond tile
             spec(n_skp),                                 # skip tile (aliased)
             pl.BlockSpec(memory_space=pltpu.VMEM),       # w_in
@@ -223,6 +238,8 @@ def gated_pair_fused(x, cond, skip, pk1, pk2, *, dd1: int, dd2: int,
     """
     w_in1, b_in1, w_out1, b_out1 = pk1
     w_in2, b_in2, w_out2, b_out2 = pk2
+    w_in1, w_out1 = w_in1.astype(jnp.bfloat16), w_out1.astype(jnp.bfloat16)
+    w_in2, w_out2 = w_in2.astype(jnp.bfloat16), w_out2.astype(jnp.bfloat16)
     bsz, lp, n_res = x.shape
     p_len = cond.shape[1]
     lpad = lp - p_len
@@ -305,7 +322,7 @@ def gated_pair_fused(x, cond, skip, pk1, pk2, *, dd1: int, dd2: int,
     outs = pl.pallas_call(
         kernel,
         grid=(bsz, nt),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),  # x (manual halo)
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),  # x (manual halo)
                   spec(n_cond_pad), spec(n_skp)] + [wspec] * 8,
         out_specs=[
             spec(n_res, off=lpad_blk),                   # mid tile
@@ -347,16 +364,19 @@ def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
     """Drop-in forward of models/wavenet.apply built on the fused layers.
 
     x_ids [B, T_in] int32, cond [B, n_lc_out, T_in] -> logits
-    [B, n_quant, T_in - rf] (same contract as wavenet.apply)."""
-    import os
+    [B, n_quant, T_in - rf] (same contract as wavenet.apply).
 
+    Kernel knobs (tile/save_y/fuse_pairs/bwd tile) default from the CONFIG
+    fields ``cfg.gated_*`` — part of the jit cache key via the static cfg,
+    serialized in checkpoints, no environment reads (a checkpoint's embedded
+    config fully determines the computation)."""
     rf = (cfg.filter_sz - 1) * sum(cfg.dilations)
     t_in = x_ids.shape[-1]
     t_out = t_in - rf
     bsz = x_ids.shape[0]
     n_cond = cfg.n_lc_out + cfg.n_global_embed
     n_cond_pad = _round_up(n_cond, 128)
-    tt = int(os.environ.get("GATED_TILE", "1024")) if tile is None else tile
+    tt = cfg.gated_tile if tile is None else tile
     p_len = _round_up(t_in, tt)
     lpad = _round_up(512, tt)
 
@@ -380,13 +400,17 @@ def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
     packed = tuple(pack_stack_weights(params, cfg))
     dils = tuple(d * (cfg.filter_sz - 1) for d in cfg.dilations)
     if save_y is None:
-        save_y = os.environ.get("GATED_SAVE_Y", "1") == "1"
-    # default ON: measured 1,635,186 vs 1,453,579 samples/s/chip (+12.5%)
-    # on the flagship step (BASELINE.md); GATED_FUSE_PAIRS=0 reverts
+        save_y = cfg.gated_save_y
+    # pair fusion default ON: measured 1,635,186 vs 1,453,579
+    # samples/s/chip (+12.5%) on the flagship step (BASELINE.md)
     if fuse_pairs is None:
-        fuse_pairs = os.environ.get("GATED_FUSE_PAIRS", "1") == "1"
+        fuse_pairs = cfg.gated_fuse_pairs
+    tt_bwd = cfg.gated_bwd_tile or tt
+    if tt % tt_bwd != 0:
+        raise ValueError(
+            f"gated_bwd_tile={tt_bwd} must divide the forward tile {tt}")
     core = _stack_core(dils, t_in, cfg.n_skp, tt, interpret, save_y,
-                       fuse_pairs)
+                       fuse_pairs, tt_bwd)
     skip = core(x, cond_buf, packed)
 
     skip_out = jax.lax.dynamic_slice(
@@ -435,6 +459,8 @@ def gated_layer_bwd(x, cond, gxcur, gxprev, gskip, gcond, w_in, w_out, b_in,
              gcond', dw_in [XIN,2*n_dil] f32, db_in [1,2*n_dil] f32,
              dw_out [n_dil,n_res+n_skp] f32, db_out [1,...] f32).
     """
+    w_in = w_in.astype(jnp.bfloat16)
+    w_out = w_out.astype(jnp.bfloat16)
     bsz, lp, n_res = x.shape
     p_len = cond.shape[1]
     lpad = lp - p_len
@@ -579,8 +605,8 @@ def gated_layer_bwd(x, cond, gxcur, gxprev, gskip, gcond, w_in, w_out, b_in,
         kernel,
         grid=(bsz, nt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x (manual halo DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # gxprev (manual halo)
+            pl.BlockSpec(memory_space=pl.ANY),    # x (manual halo DMA)
+            pl.BlockSpec(memory_space=pl.ANY),    # gxprev (manual halo)
             spec(n_cond_pad),                        # cond tile
             spec(n_res, off=lpad_blk),               # gxcur tile
             spec(n_skp),                             # gskip tile
@@ -648,6 +674,8 @@ def gated_pair_bwd(x1, x2, cond, gxcur, gxprev, gskip, gcond, pk1, pk2,
     """
     w_in1, _b1, w_out1, _bo1 = pk1
     w_in2, _b2, w_out2, _bo2 = pk2
+    w_in1, w_out1 = w_in1.astype(jnp.bfloat16), w_out1.astype(jnp.bfloat16)
+    w_in2, w_out2 = w_in2.astype(jnp.bfloat16), w_out2.astype(jnp.bfloat16)
     bsz, lp, n_res = x1.shape
     p_len = cond.shape[1]
     lpad = lp - p_len
@@ -806,9 +834,9 @@ def gated_pair_bwd(x1, x2, cond, gxcur, gxprev, gskip, gcond, pk1, pk2,
         kernel,
         grid=(bsz, nt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x1 (manual halo)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x2 (manual halo)
-            pl.BlockSpec(memory_space=pltpu.ANY),    # gxprev (manual halo)
+            pl.BlockSpec(memory_space=pl.ANY),    # x1 (manual halo)
+            pl.BlockSpec(memory_space=pl.ANY),    # x2 (manual halo)
+            pl.BlockSpec(memory_space=pl.ANY),    # gxprev (manual halo)
             spec(n_cond_pad),                        # cond tile
             spec(n_res, off=lpad_blk),               # gxcur tile
             spec(n_skp),                             # gskip tile
@@ -861,27 +889,25 @@ def gated_pair_bwd(x1, x2, cond, gxcur, gxprev, gskip, gcond, pk1, pk2,
 @functools.lru_cache(maxsize=64)
 def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
                 interpret: bool, save_y: bool = True,
-                fuse_pairs: bool = False):
+                fuse_pairs: bool = False, bwd_tile: int | None = None):
     """custom_vjp'd fused stack: (x0, cond_buf, packed_weights) -> skip_buf.
 
     Forward runs the fused layers; backward runs :func:`gated_layer_bwd` in
     reverse, saving each layer's input residual stream as residuals (L x
     [B, LPAD+P, n_res] bf16 — the cheapest complete residual from which the
     backward can rebuild its operands in-kernel).  With ``save_y`` (default;
-    GATED_SAVE_Y=0 reverts) the forward also saves each layer's gate
-    pre-activations y bf16, removing the backward's xin @ w_in recompute
-    GEMM — 28% of backward FLOPs for ~2 KB/row/layer of extra HBM traffic
-    (measured head-to-head in BASELINE.md)."""
-    import os
-
+    ``cfg.gated_save_y=False`` reverts) the forward also saves each layer's
+    gate pre-activations y bf16, removing the backward's xin @ w_in
+    recompute GEMM — 28% of backward FLOPs for ~2 KB/row/layer of extra HBM
+    traffic (measured head-to-head in BASELINE.md)."""
     tt = tile
     p_len = _round_up(t_in, tt)
     rpad = _round_up(512, tt)
     # measured on v5e (BASELINE.md): bwd tile = fwd tile is best (1.321M
     # vs 1.315M at tile/2 and 1.298M at tile/4) under the raised 64M
-    # scoped-vmem limit.  GATED_BWD_TILE overrides for experiments (must
-    # divide p_len and the lpad/rpad paddings).
-    tt_bwd = int(os.environ.get("GATED_BWD_TILE", tt))
+    # scoped-vmem limit.  cfg.gated_bwd_tile overrides for experiments
+    # (must divide the forward tile, hence p_len and the paddings).
+    tt_bwd = bwd_tile or tt
 
     def layer_geo(i, tsz=tt):
         ty = t_in - sum(dils[: i + 1])
@@ -961,8 +987,11 @@ def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
                 i += 1
 
         def qb(dwi, dbi, dwo, dbo):
-            return (dwi.astype(jnp.bfloat16), dbi.astype(jnp.float32),
-                    dwo.astype(jnp.bfloat16), dbo.astype(jnp.float32))
+            # weight cotangents stay FLOAT32 (matching the f32 packed
+            # primals): the optimizer sees full-precision grads, same as
+            # the XLA path — no bf16 quantization between bwd and Adam
+            return (dwi.astype(jnp.float32), dbi.astype(jnp.float32),
+                    dwo.astype(jnp.float32), dbo.astype(jnp.float32))
 
         for seg in reversed(segs):
             i = seg[0]

@@ -79,6 +79,18 @@ class WaveNetConfig:
                                     # training forward+backward (TPU only;
                                     # ops/gated_pallas.py). Measured 1.79x
                                     # the XLA forward on v5e — BASELINE.md
+    # --- fused-stack kernel knobs (numerics/schedule-affecting; config
+    # fields so a checkpoint's embedded config fully determines the
+    # computation — formerly GATED_* / FASTGEN_* env vars) ---
+    gated_tile: int = 1024        # forward time-tile (frames per grid step)
+    gated_bwd_tile: int = 0       # backward tile; 0 = same as gated_tile,
+                                  # otherwise must divide gated_tile
+    gated_save_y: bool = True     # save gate pre-activations in fwd so bwd
+                                  # skips the xin@w_in recompute GEMM
+    gated_fuse_pairs: bool = True  # fuse consecutive layer pairs into one
+                                   # kernel (persistent VMEM mid-stream)
+    fastgen_vmem_dil_max: int = 16  # AR sampler: ring buffers with dilation
+                                    # <= this stay VMEM-resident
 
     @property
     def dilations(self) -> Tuple[int, ...]:
@@ -105,6 +117,11 @@ class TrainConfig:
     log_every: int = 50
     holdout_every: int = 0    # >0: every k-th clip is held out of training
                               # and used by Chassis.evaluate()
+    steps_per_call: int = 1   # K>1: ONE jitted program advances K steps
+                              # (lax.scan over a K-deep staged batch block),
+                              # amortizing per-step host dispatch — the
+                              # compute-vs-e2e gap on slow hosts.  n_steps
+                              # must be a multiple of K.
     compute_dtype: str = "bfloat16"  # matmul/conv dtype; params stay f32
     dp_impl: str = "auto"     # data-parallel step implementation:
                               # "auto" = pjit sharding annotations (XLA

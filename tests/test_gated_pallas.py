@@ -131,6 +131,7 @@ def test_pair_fused_grads_match_xla():
     assert np.abs(fp - fx).max() / scale < 0.05, np.abs(fp - fx).max() / scale
 
 
+@pytest.mark.slow
 def test_pair_fused_odd_layers_and_recompute_bwd():
     """Pair fusion with an ODD layer count (trailing single layer) and with
     save_y off (paired forward + per-layer recompute backward): both fall
@@ -180,6 +181,7 @@ def test_pair_fused_odd_layers_and_recompute_bwd():
         assert err < 0.05, (save_y, err)
 
 
+@pytest.mark.slow
 def test_stack_grads_nonzero_bias():
     """Regression: the backward must add b_in when rebuilding the gate
     pre-activations.  Freshly-initialized biases are zero, so the plain
@@ -256,3 +258,43 @@ def test_mesh_routes_through_shard_map():
     _, _, _, metrics = step(params, opt_state, bn_state, wav, spk,
                             jnp.int32(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_kernel_knobs_are_config_not_env():
+    """Round-2 verdict #3 contract: numerics-affecting kernel knobs are
+    RunConfig fields (serialized into checkpoints), with ZERO environment
+    reads left anywhere in ops/ — a checkpoint's embedded config fully
+    determines the computation."""
+    import glob
+    import os
+
+    import ae_wavenet_tpu.ops as ops_pkg
+
+    for f in glob.glob(os.path.join(os.path.dirname(ops_pkg.__file__), "*.py")):
+        src = open(f).read()
+        assert "os.environ" not in src and "getenv" not in src, f
+
+    # the knobs round-trip through the checkpointed JSON config
+    from ae_wavenet_tpu.utils.config import RunConfig, from_json, to_json
+    import dataclasses
+
+    cfg = RunConfig()
+    wn = dataclasses.replace(cfg.wavenet, gated_tile=512, gated_bwd_tile=256,
+                             gated_save_y=False, gated_fuse_pairs=False,
+                             fastgen_vmem_dil_max=8)
+    cfg = dataclasses.replace(cfg, wavenet=wn)
+    assert from_json(to_json(cfg)) == cfg
+
+
+def test_stack_apply_reads_knobs_from_config():
+    """cfg.gated_save_y / gated_fuse_pairs / gated_tile drive the stack when
+    the kwargs are left unset — identical output to passing them explicitly."""
+    import dataclasses
+
+    params, x_ids, cond, spk = _inputs(170)
+    explicit = gp.stack_apply(params, CFG, x_ids, cond, spk, tile=64,
+                              interpret=True, save_y=False, fuse_pairs=True)
+    cfg2 = dataclasses.replace(CFG, gated_tile=64, gated_save_y=False,
+                               gated_fuse_pairs=True)
+    implicit = gp.stack_apply(params, cfg2, x_ids, cond, spk, interpret=True)
+    np.testing.assert_array_equal(np.asarray(explicit), np.asarray(implicit))
