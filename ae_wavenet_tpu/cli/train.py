@@ -44,6 +44,10 @@ def _add_runtime_flags(p):
     p.add_argument("--process-id", type=int, default=None)
     p.add_argument("--eval-every", type=int, default=0,
                    help="run Chassis.evaluate() every N steps (0 = off)")
+    p.add_argument("--steps-per-call", type=int, default=None,
+                   help="K>1: one jitted program advances K steps (amortizes "
+                        "host dispatch; numerics identical — n-steps must "
+                        "be a multiple of K)")
     # observability (SURVEY.md §5 rows 1-2, 5)
     p.add_argument("--tb-logdir", default=None,
                    help="also write metrics as TensorBoard scalars")
@@ -121,6 +125,23 @@ def build_parser() -> argparse.ArgumentParser:
     new.add_argument("--pallas-stack", action="store_true", default=None,
                      help="fused Pallas gated-conv training stack (TPU, "
                           "bf16; BASELINE.md head-to-head)")
+    # fused-stack kernel knobs (persisted in the checkpointed config so a
+    # resume reproduces the exact computation; formerly GATED_* env vars)
+    new.add_argument("--gated-tile", type=int, default=None,
+                     help="fused-stack forward time tile (default 1024)")
+    new.add_argument("--gated-bwd-tile", type=int, default=None,
+                     help="fused-stack backward tile (0 = same as forward; "
+                          "must divide it)")
+    new.add_argument("--no-gated-save-y", dest="gated_save_y",
+                     action="store_false", default=None,
+                     help="recompute gate pre-activations in the backward "
+                          "instead of saving them (less HBM, more FLOPs)")
+    new.add_argument("--no-gated-fuse-pairs", dest="gated_fuse_pairs",
+                     action="store_false", default=None,
+                     help="disable two-layer pair fusion in the fused stack")
+    new.add_argument("--fastgen-vmem-dil-max", type=int, default=None,
+                     help="AR sampler: rings with dilation <= this stay "
+                          "VMEM-resident (default 16)")
 
     res = sub.add_parser("resume", help="resume from the latest checkpoint")
     _add_runtime_flags(res)
@@ -150,7 +171,11 @@ def config_from_args(a) -> config_mod.RunConfig:
               n_block_layers=a.n_block_layers, n_speakers=a.n_speakers,
               n_lc_out=a.n_lc_out, n_global_embed=a.n_global_embed,
               lc_upsample_strides=a.lc_upsample_strides,
-              lc_upsample_filters=a.lc_upsample_filters)
+              lc_upsample_filters=a.lc_upsample_filters,
+              gated_tile=a.gated_tile, gated_bwd_tile=a.gated_bwd_tile,
+              gated_save_y=a.gated_save_y,
+              gated_fuse_pairs=a.gated_fuse_pairs,
+              fastgen_vmem_dil_max=a.fastgen_vmem_dil_max)
     if a.lc_upsample_strides is not None and a.lc_upsample_filters is None:
         wn = dataclasses.replace(
             wn, lc_upsample_filters=tuple(2 * s for s in a.lc_upsample_strides)
@@ -218,6 +243,7 @@ def main(argv=None) -> int:
     cfg = dataclasses.replace(
         cfg, train=over(cfg.train, n_steps=a.n_steps, log_every=a.log_every,
                         ckpt_every=a.ckpt_every,
+                        steps_per_call=a.steps_per_call,
                         compute_dtype=getattr(a, "compute_dtype", None))
     )
     mesh = make_mesh() if a.mesh else None

@@ -27,6 +27,7 @@ def device_batches(
     n_steps: int,
     sharding=None,
     prefetch: int = 2,
+    block: int = 1,
 ) -> Iterator[tuple]:
     """Yield (step, (wav, spk)) with the arrays already on device.
 
@@ -35,7 +36,15 @@ def device_batches(
     mesh each process feeds only its addressable shards of the global batch
     (mesh.put_sharded); the pure (seed, step) sampler keeps every host's
     view of the global batch identical with no cross-host data exchange.
+
+    ``block`` > 1 stages K consecutive batches into ONE [K, B, ...] transfer
+    (for the K-step jitted train program, TrainConfig.steps_per_call);
+    yields (first_step, (wav_block, spk_block)).  n_steps must be a
+    multiple of ``block`` (static shapes: a ragged tail block would force a
+    recompile).
     """
+    if n_steps % block:
+        raise ValueError(f"n_steps={n_steps} not a multiple of block={block}")
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
@@ -44,11 +53,19 @@ def device_batches(
             return jax.device_put(x)
         return mesh_mod.put_sharded(x, sharding)
 
+    def make_item(s):
+        if block == 1:
+            wav, spk = sampler.batch_at(s)
+            return (s, (put_fn(wav), put_fn(spk)))
+        import numpy as np
+
+        ws, ks = zip(*(sampler.batch_at(s + i) for i in range(block)))
+        return (s, (put_fn(np.stack(ws)), put_fn(np.stack(ks))))
+
     def producer():
         try:
-            for s in range(start_step, start_step + n_steps):
-                wav, spk = sampler.batch_at(s)
-                item = (s, (put_fn(wav), put_fn(spk)))
+            for s in range(start_step, start_step + n_steps, block):
+                item = make_item(s)
                 while not stop.is_set():
                     try:
                         q.put(item, timeout=0.5)

@@ -92,6 +92,11 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def block_sharding(mesh: Mesh) -> NamedSharding:
+    """Staged K-step blocks [K, B, ...]: batch is axis 1 (K replicated)."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

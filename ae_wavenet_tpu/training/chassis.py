@@ -61,13 +61,21 @@ def make_optimizer(cfg: RunConfig) -> optax.GradientTransformation:
 
 
 def make_train_step(cfg: RunConfig, spec: ae.WindowSpec, optimizer, base_key,
-                    mesh=None, loss_fn=None):
+                    mesh=None, loss_fn=None, n_steps_per_call: int = 1):
     """Build the single compiled train step.
 
     (params, opt_state, bn_state, wav_i16, spk, step) ->
     (params, opt_state, bn_state, metrics)
+
+    With ``n_steps_per_call`` K > 1 the compiled program advances K steps
+    per dispatch (``lax.scan`` over a staged [K, B, ...] batch block; wav/spk
+    gain a leading K axis, ``step`` is the block's FIRST step, and the
+    returned metrics are the last step's) — amortizing the fixed per-step
+    host dispatch cost that opens a compute-vs-e2e gap on slow hosts
+    (BASELINE.md "Chassis e2e").
     """
     loss_fn = ae.loss_fn if loss_fn is None else loss_fn
+    k_steps = n_steps_per_call
     dp_impl = cfg.train.dp_impl
     if mesh is not None and cfg.wavenet.use_pallas_stack:
         # pallas_call does not auto-partition under pjit sharding
@@ -75,8 +83,7 @@ def make_train_step(cfg: RunConfig, spec: ae.WindowSpec, optimizer, base_key,
         # program (each device runs the kernels on its local batch)
         dp_impl = "shard_map"
 
-    def step_fn(params, opt_state, bn_state, wav, spk, step,
-                axis_name=None):
+    def one_step(params, opt_state, bn_state, wav, spk, step, axis_name):
         rng = jax.random.fold_in(base_key, step)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_bn_state, metrics)), grads = grad_fn(
@@ -95,22 +102,43 @@ def make_train_step(cfg: RunConfig, spec: ae.WindowSpec, optimizer, base_key,
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_params, new_opt_state, new_bn_state, metrics
 
+    if k_steps == 1:
+        def step_fn(params, opt_state, bn_state, wav, spk, step,
+                    axis_name=None):
+            return one_step(params, opt_state, bn_state, wav, spk, step,
+                            axis_name)
+    else:
+        def step_fn(params, opt_state, bn_state, wavs, spks, step0,
+                    axis_name=None):
+            def body(carry, xs):
+                params, opt_state, bn_state = carry
+                wav, spk, i = xs
+                params, opt_state, bn_state, metrics = one_step(
+                    params, opt_state, bn_state, wav, spk, step0 + i,
+                    axis_name)
+                return (params, opt_state, bn_state), metrics
+            (params, opt_state, bn_state), ms = jax.lax.scan(
+                body, (params, opt_state, bn_state),
+                (wavs, spks, jnp.arange(k_steps, dtype=jnp.int32)))
+            metrics = jax.tree.map(lambda v: v[-1], ms)
+            return params, opt_state, bn_state, metrics
+
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0, 1, 2))
-    if dp_impl == "shard_map":
-        from jax.sharding import PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
-        repl_p, data_p = P(), P("data")
+    batch_p = P("data") if k_steps == 1 else P(None, "data")
+    if dp_impl == "shard_map":
         sm = jax.shard_map(
             functools.partial(step_fn, axis_name="data"),
             mesh=mesh,
-            in_specs=(repl_p, repl_p, repl_p, data_p, data_p, repl_p),
-            out_specs=(repl_p, repl_p, repl_p, repl_p),
+            in_specs=(P(), P(), P(), batch_p, batch_p, P()),
+            out_specs=(P(), P(), P(), P()),
             check_vma=False,
         )
         return jax.jit(sm, donate_argnums=(0, 1, 2))
     repl = mesh_mod.replicated(mesh)
-    data = mesh_mod.batch_sharding(mesh)
+    data = jax.sharding.NamedSharding(mesh, batch_p)
     return jax.jit(
         step_fn,
         in_shardings=(repl, repl, repl, data, data, repl),
@@ -201,8 +229,10 @@ class Chassis:
                 )
         self.optimizer = make_optimizer(cfg)
         base_key = jax.random.PRNGKey(cfg.train.seed)
+        self.k_steps = max(1, cfg.train.steps_per_call)
         self.step_fn = make_train_step(
-            cfg, self.spec, self.optimizer, base_key, mesh, self.model.loss_fn
+            cfg, self.spec, self.optimizer, base_key, mesh,
+            self.model.loss_fn, n_steps_per_call=self.k_steps,
         )
         self.step = 0
         init_key = jax.random.PRNGKey(cfg.train.seed + 1)
@@ -257,21 +287,59 @@ class Chassis:
             base_key = jax.random.PRNGKey(self.cfg.train.seed + 2)
             cfg, spec, model = self.cfg, self.spec, self.model
 
-            def eval_fn(params, bn_state, wav, spk, step):
+            def eval_fn(params, bn_state, wav, spk, step, axis_name=None):
                 rng = jax.random.fold_in(base_key, step)
                 _, (_, metrics) = model.loss_fn(
                     params, bn_state, cfg, spec, wav, spk, rng, step,
-                    train=False,
+                    train=False, axis_name=axis_name,
                 )
+                if axis_name is not None:
+                    metrics = jax.tree.map(
+                        lambda v: jax.lax.pmean(v, axis_name), dict(metrics))
                 return metrics
 
-            self._eval_fn = jax.jit(eval_fn)
+            # mesh-aware, mirroring make_train_step: under --distributed the
+            # params are GLOBAL (multi-process) arrays, so the eval batch
+            # must be placed against the same mesh sharding and the step
+            # jitted over it — a plain jit of process-local arrays would mix
+            # local and global arrays in one program and fail on every host.
+            if self.mesh is None:
+                self._eval_fn = jax.jit(eval_fn)
+            else:
+                dp_impl = self.cfg.train.dp_impl
+                if self.cfg.wavenet.use_pallas_stack:
+                    dp_impl = "shard_map"  # pallas_call can't auto-partition
+                repl = mesh_mod.replicated(self.mesh)
+                data = mesh_mod.batch_sharding(self.mesh)
+                if dp_impl == "shard_map":
+                    from jax.sharding import PartitionSpec as P
+
+                    sm = jax.shard_map(
+                        functools.partial(eval_fn, axis_name="data"),
+                        mesh=self.mesh,
+                        in_specs=(P(), P(), P("data"), P("data"), P()),
+                        out_specs=P(),
+                        check_vma=False,
+                    )
+                    self._eval_fn = jax.jit(sm)
+                else:
+                    self._eval_fn = jax.jit(
+                        eval_fn,
+                        in_shardings=(repl, repl, data, data, repl),
+                        out_shardings=repl,
+                    )
+        put = (
+            (lambda x: mesh_mod.put_sharded(np.asarray(x),
+                                            mesh_mod.batch_sharding(self.mesh)))
+            if self.mesh is not None
+            else jnp.asarray
+        )
         totals: dict = {}
         sampler = self.eval_sampler if self.eval_sampler is not None else self.sampler
         for i in range(n_batches):
             wav, spk = sampler.batch_at(stream_offset + self.step + i)
-            m = self._eval_fn(self.params, self.bn_state, jnp.asarray(wav),
-                              jnp.asarray(spk), jnp.int32(self.step))
+            m = self._eval_fn(self.params, self.bn_state, put(wav), put(spk),
+                              jnp.int32(self.step))
             for k, v in m.items():
                 totals[k] = totals.get(k, 0.0) + float(v) / n_batches
         totals["split"] = "holdout" if self.eval_sampler is not None else "train"
@@ -282,7 +350,22 @@ class Chassis:
               eval_every: int = 0) -> list[dict]:
         t_cfg = self.cfg.train
         n_steps = t_cfg.n_steps if n_steps is None else n_steps
-        sharding = mesh_mod.batch_sharding(self.mesh) if self.mesh is not None else None
+        kk = self.k_steps
+        if n_steps % kk:
+            raise ValueError(
+                f"n_steps={n_steps} must be a multiple of "
+                f"steps_per_call={kk} (static block shapes)")
+        if self.mesh is None:
+            sharding = None
+        elif kk == 1:
+            sharding = mesh_mod.batch_sharding(self.mesh)
+        else:
+            sharding = mesh_mod.block_sharding(self.mesh)
+
+        def crossed(every: int, lo: int, hi: int) -> bool:
+            # a multiple of `every` lies in (lo, hi] — the K-step-safe
+            # generalization of `(s + 1) % every == 0`
+            return every > 0 and (hi // every) > (lo // every)
         history: list[dict] = []
         start = self.step
         t0 = time.time()
@@ -300,17 +383,22 @@ class Chassis:
 
         multi = self.mesh is not None and jax.process_count() > 1
 
-        def stop_requested(s: int) -> bool:
+        # multi-host stop checks run on their own small fixed cadence,
+        # NOT log_every: with a large log_every the SIGTERM-to-save latency
+        # could exceed the preemption grace window
+        stop_check_every = min(t_cfg.log_every, 50)
+
+        def stop_requested(lo: int, hi: int) -> bool:
             # single-process: act on the local flag immediately.  Multi-host:
             # checkpoint.save is a collective, so acting on a host-local flag
             # would have hosts saving at DIFFERENT steps (barrier deadlock —
             # the signal lands at a different loop iteration on each host).
-            # Instead every host joins an allgather of the flags at
-            # log_every boundaries (deterministic, identical on all hosts)
-            # and they stop together iff any host was signalled.
+            # Instead every host joins an allgather of the flags at a fixed
+            # small cadence (deterministic, identical on all hosts) and they
+            # stop together iff any host was signalled.
             if not multi:
                 return stop["flag"]
-            if (s + 1) % t_cfg.log_every != 0:
+            if not crossed(stop_check_every, lo, hi):
                 return False
             from jax.experimental import multihost_utils
 
@@ -326,19 +414,20 @@ class Chassis:
             profiling = True
         try:
             for s, (wav, spk) in device_batches(
-                self.sampler, self.step, n_steps, sharding
+                self.sampler, self.step, n_steps, sharding, block=kk
             ):
                 self.params, self.opt_state, self.bn_state, metrics = self.step_fn(
                     self.params, self.opt_state, self.bn_state, wav, spk, jnp.int32(s)
                 )
-                self.step = s + 1
-                samples_done += t_cfg.batch_sz * self.spec.n_win
+                self.step = s + kk
+                samples_done += kk * t_cfg.batch_sz * self.spec.n_win
                 if profiling and self.step - start >= self.profile_steps:
                     jax.block_until_ready(metrics)
                     prof_stack.close()
                     profiling = False
                     self.logger.log(self.step, {"profile_trace": self.profile_dir})
-                if (s + 1) % t_cfg.log_every == 0 or s + 1 == start + n_steps:
+                if crossed(t_cfg.log_every, s, self.step) \
+                        or self.step == start + n_steps:
                     fetched = {k: float(v) for k, v in metrics.items()}
                     if self.nan_checks:
                         if not all(np.isfinite(v) for v in fetched.values()):
@@ -357,12 +446,12 @@ class Chassis:
                                                 if k != "step"})
                     t0 = time.time()
                     samples_done = 0
-                if eval_every and self.step % eval_every == 0:
+                if eval_every and crossed(eval_every, s, self.step):
                     ev = {f"eval_{k}": v for k, v in self.evaluate().items()}
                     self.logger.log(self.step, ev)
-                if self.ckpt_dir and self.step % t_cfg.ckpt_every == 0:
+                if self.ckpt_dir and crossed(t_cfg.ckpt_every, s, self.step):
                     self.save()
-                if stop_requested(s):
+                if stop_requested(s, self.step):
                     path = self.save()
                     self.logger.log(self.step,
                                     {"preempted_at": self.step, "saved": path})
