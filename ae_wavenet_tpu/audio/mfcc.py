@@ -185,6 +185,22 @@ def mfcc_delta_stack(wav: jax.Array, cfg: SpecConfig) -> jax.Array:
     )
 
 
+def log_mel_frames_np(wav: np.ndarray, cfg: SpecConfig) -> np.ndarray:
+    """wav [..., T] float -> log-mel spectrogram [..., n_mels, F] (numpy,
+    host-side).  The quality metric's representation (eval/quality): the
+    same framing/filterbank as the MFCC frontend, stopped before the DCT."""
+    t = wav.shape[-1]
+    f = (t - cfg.win_sz) // cfg.hop_sz + 1
+    idx = np.arange(f)[:, None] * cfg.hop_sz + np.arange(cfg.win_sz)[None, :]
+    frames = wav[..., idx] * np.hanning(cfg.win_sz + 1)[:-1].astype(np.float32)
+    cosm, sinm = _dft_matrices(cfg.win_sz, cfg.n_fft)
+    power = (frames @ cosm) ** 2 + (frames @ sinm) ** 2
+    mel = power @ mel_filterbank(cfg).T
+    return np.swapaxes(
+        np.log(np.maximum(mel, 1e-10)), -1, -2
+    ).astype(np.float32)
+
+
 # ------------------------------------------------------------- numpy twin
 
 def mfcc_delta_stack_np(wav: np.ndarray, cfg: SpecConfig) -> np.ndarray:

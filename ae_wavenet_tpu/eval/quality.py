@@ -1,0 +1,125 @@
+"""Generated-audio quality metrics.
+
+The reference's evaluation loop ended in *listening* to generated audio
+(SURVEY.md §3.4/§4) — unmeasurable.  This module replaces the ear with two
+numbers, both computed on free-running generation (the model fed its OWN
+samples, so compounding autoregressive error is captured — teacher-forced
+CE cannot see it):
+
+* **free-running NLL**: mean -log p(ground-truth sample | generated past)
+  under the per-step predictive distributions of the AR stream.  A model
+  whose rollout drifts off the data manifold scores badly here even if its
+  teacher-forced CE is excellent.
+* **log-mel spectral distance**: mean per-frame L2 distance between the
+  log-mel spectrograms (audio/mfcc framing, pre-DCT) of the reconstruction
+  and the source segment.  The metric the int8 sampling path is gated on
+  (tests_tpu/test_quality_tpu.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ae_wavenet_tpu.audio.mfcc import SpecConfig, log_mel_frames_np
+from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_decode, mu_encode
+from ae_wavenet_tpu.models import wavenet as wn
+from ae_wavenet_tpu.ops import fastgen
+from ae_wavenet_tpu.utils.config import RunConfig
+
+
+def log_mel_distance(x, y, spec: SpecConfig) -> float:
+    """Mean per-frame L2 distance between log-mel spectrograms.
+
+    x, y: float wav arrays [..., T] on the same sample lattice (trimmed to
+    the shorter length; both must cover >= one analysis window)."""
+    n = min(x.shape[-1], y.shape[-1])
+    if n < spec.win_sz:
+        raise ValueError(f"need >= {spec.win_sz} samples, got {n}")
+    a = log_mel_frames_np(np.asarray(x, np.float32)[..., :n], spec)
+    b = log_mel_frames_np(np.asarray(y, np.float32)[..., :n], spec)
+    return float(np.mean(np.linalg.norm(a - b, axis=-2)))
+
+
+def free_running_report(
+    params: dict,
+    bn_state: dict,
+    cfg: RunConfig,
+    wav_i16,               # [B, T] int16 source utterances
+    spk,                   # [B] speaker ids
+    rng,
+    n_samples: int | None = None,
+    encode_fn=None,
+) -> dict:
+    """Free-running quality on whole utterances.
+
+    Encodes the source, primes the fast queues on real left context, rolls
+    the sampler forward at temperature 1 feeding its OWN samples, and
+    scores:
+
+    * ``free_nll``    — mean ground-truth NLL under the rollout's per-step
+                        distributions (nats; teacher-forced CE is the lower
+                        bound, the gap measures AR error compounding)
+    * ``teacher_nll`` — same positions, teacher forcing (the baseline)
+    * ``spectral_l2`` — log-mel distance reconstruction vs source
+    * ``n_scored``    — samples scored per utterance
+
+    Returns the metrics dict plus the generated ids/start offset.
+    """
+    if encode_fn is None:
+        from ae_wavenet_tpu.models import autoencoder as ae
+        encode_fn = ae.encode
+
+    rng_e, rng_g = jax.random.split(jax.random.PRNGKey(0) if rng is None
+                                    else rng)
+    cond, c_off = encode_fn(params, bn_state, cfg, wav_i16, rng_e)
+    wcfg = cfg.wavenet
+    rf = wn.receptive_field(wcfg)
+    tc = int(cond.shape[-1])
+    if tc <= rf + 1:
+        raise ValueError(f"utterance too short: {tc} cond frames <= rf+1")
+    n = tc - rf - 1 if n_samples is None else min(n_samples, tc - rf - 1)
+
+    ids = mu_encode(int16_to_float(wav_i16), wcfg.n_quant)
+    ctx = ids[..., c_off : c_off + rf + 1]
+    state = fastgen.init_state(wcfg, wav_i16.shape[0])
+    state = fastgen.prime(params["wavenet"], wcfg, state, ctx, cond, spk)
+    gen_cond = cond[..., rf : rf + n]
+    gen_ids, _, logits = fastgen.generate(
+        params["wavenet"], wcfg, state, gen_cond, rng_g, gc_ids=spk,
+        temperature=1.0, return_logits=True,
+    )
+
+    start = c_off + rf + 1
+    truth = ids[..., start : start + n]                    # [B, n]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
+    free_nll = float(jnp.mean(
+        -jnp.take_along_axis(logp, truth[:, None, :], axis=1)))
+
+    # teacher-forced NLL at the SAME positions (the non-compounding bound):
+    # feed the real past, score the same targets
+    t_in = rf + n
+    x_ids = ids[..., start - 1 - rf : start - 1 - rf + t_in]
+    tf_logits = wn.apply(params["wavenet"], wcfg,
+                         x_ids, cond[..., : t_in], spk)
+    tf_logp = jax.nn.log_softmax(tf_logits.astype(jnp.float32), axis=1)
+    teacher_nll = float(jnp.mean(
+        -jnp.take_along_axis(tf_logp, truth[:, None, :], axis=1)))
+
+    recon = np.asarray(mu_decode(gen_ids, wcfg.n_quant))
+    src = np.asarray(int16_to_float(wav_i16))[..., start : start + n]
+    spectral = log_mel_distance(recon, src, cfg.spec)
+    # scale reference: distance of the source to silence (a reconstruction
+    # must beat this to carry any signal content at all)
+    silence = log_mel_distance(np.zeros_like(src), src, cfg.spec)
+
+    return {
+        "free_nll": free_nll,
+        "teacher_nll": teacher_nll,
+        "spectral_l2": spectral,
+        "spectral_l2_vs_silence": silence,
+        "n_scored": n,
+        "ids": gen_ids,
+        "start": start,
+    }

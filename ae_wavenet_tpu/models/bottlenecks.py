@@ -167,6 +167,9 @@ def _apply_vq(state, cfg: BottleneckConfig, z, rng, train, axis_name=None):
         new_codebook = jnp.where(dead[:, None], cand, new_codebook)
         new_sums = jnp.where(dead[:, None], cand, new_sums)
         new_counts = jnp.where(dead, 1.0, new_counts)
+        n_restarts = jnp.sum(dead.astype(jnp.float32))
+    else:
+        n_restarts = jnp.float32(0.0)
 
     new_state = {
         "codebook": new_codebook if train else state["codebook"],
@@ -187,6 +190,9 @@ def _apply_vq(state, cfg: BottleneckConfig, z, rng, train, axis_name=None):
         "bn_loss": cfg.vq_beta * commitment,
         "commitment": commitment,
         "perplexity": perplexity,
+        # codebook health: dead codes re-seeded THIS step (0 when restarts
+        # are disabled or in eval mode) — trended in long runs
+        "restarts": n_restarts if train else jnp.float32(0.0),
     }
     return zq, new_state, aux
 

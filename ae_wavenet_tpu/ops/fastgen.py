@@ -163,16 +163,21 @@ def prime(params, cfg: WaveNetConfig, state: GenState, ids: jax.Array,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_steps", "dtype", "temperature")
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "dtype", "temperature",
+                     "return_logits"),
 )
 def generate(params, cfg: WaveNetConfig, state: GenState, cond: jax.Array,
              rng: jax.Array, gc_ids=None, n_steps: int | None = None,
-             temperature: float = 1.0, dtype=jnp.float32):
+             temperature: float = 1.0, dtype=jnp.float32,
+             return_logits: bool = False):
     """Sample ``n_steps`` (default cond length) mu-law ids autoregressively.
 
     cond: [B, n_lc_out, T] — column p conditions the step that consumes the
     sample at position p (same lattice as training).  Returns (ids [B, T],
-    final state)."""
+    final state); with ``return_logits`` also the per-step logits
+    [B, n_quant, T] (the free-running predictive distributions — the
+    quality metrics in eval/quality score ground truth under them)."""
     t_len = cond.shape[-1] if n_steps is None else n_steps
     if t_len > cond.shape[-1]:
         raise ValueError(
@@ -192,10 +197,14 @@ def generate(params, cfg: WaveNetConfig, state: GenState, cond: jax.Array,
         else:
             nxt = jax.random.categorical(sub, logits / temperature, axis=-1)
             nxt = nxt.astype(jnp.int32)
-        return (GenState(bufs, nxt, st.t + 1), key), nxt
+        return (GenState(bufs, nxt, st.t + 1),
+                key), (nxt, logits if return_logits else None)
 
-    (final, _), ids_tm = jax.lax.scan(body, (state, rng), cond_tm)
-    return jnp.transpose(ids_tm, (1, 0)), final
+    (final, _), (ids_tm, lg_tm) = jax.lax.scan(body, (state, rng), cond_tm)
+    ids = jnp.transpose(ids_tm, (1, 0))
+    if return_logits:
+        return ids, final, jnp.transpose(lg_tm, (1, 2, 0))
+    return ids, final
 
 
 # --------------------------------------------------------------- naive oracle

@@ -1,0 +1,89 @@
+"""Score generated audio from a checkpoint: free-running NLL + log-mel
+spectral distance on dataset clips (holdout-style offsets).
+
+    python scripts/eval_quality.py --ckpt-dir DIR --data PREFIX \
+        [--clips 0,1,2] [--n-samples 16000] [--json out.json]
+
+Prints one JSON line per clip batch + a summary line.  These are the
+measurable replacements for the reference's listen-to-the-wav evaluation
+loop (SURVEY.md §3.4/§4); recorded in BASELINE.md "generation quality".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt-dir", required=True)
+    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--data", required=True)
+    p.add_argument("--clips", default="0", help="comma list of clip indices")
+    p.add_argument("--n-samples", type=int, default=16000)
+    p.add_argument("--max-input", type=int, default=64000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json", default=None, help="also append records here")
+    a = p.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ae_wavenet_tpu.data.dataset import PackedDataset
+    from ae_wavenet_tpu.eval.quality import free_running_report
+    from ae_wavenet_tpu.models import registry
+    from ae_wavenet_tpu.training import checkpoint as ckpt_mod
+
+    step, tree, cfg = ckpt_mod.load(a.ckpt_dir, a.step)
+    model = registry.get(cfg.model_kind)
+    ref_params, ref_bn = model.init(jax.random.PRNGKey(0), cfg)
+    merge = lambda ref, new: jax.tree.unflatten(
+        jax.tree.structure(ref), [jnp.asarray(x) for x in jax.tree.leaves(new)]
+    )
+    params = merge(ref_params, tree["params"])
+    bn_state = merge(ref_bn, tree["bn_state"])
+
+    ds = PackedDataset(a.data)
+    records = []
+    for ci in (int(x) for x in a.clips.split(",") if x):
+        o, l = int(ds.offsets[ci]), int(ds.lengths[ci])
+        wav = np.asarray(ds.data[o : o + min(l, a.max_input)])[None, :]
+        spk = jnp.asarray(ds.speakers[ci : ci + 1])
+        rep = free_running_report(
+            params, bn_state, cfg, jnp.asarray(wav), spk,
+            jax.random.PRNGKey(a.seed), n_samples=a.n_samples,
+            encode_fn=getattr(model, "encode", None),
+        )
+        rec = {
+            "step": step, "clip": ci,
+            **{k: round(float(v), 4) for k, v in rep.items()
+               if k in ("free_nll", "teacher_nll", "spectral_l2",
+                        "spectral_l2_vs_silence")},
+            "n_scored": int(rep["n_scored"]),
+        }
+        records.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    summary = {
+        "step": step,
+        "clips": len(records),
+        "free_nll_mean": round(float(np.mean([r["free_nll"] for r in records])), 4),
+        "teacher_nll_mean": round(float(np.mean([r["teacher_nll"] for r in records])), 4),
+        "spectral_l2_mean": round(float(np.mean([r["spectral_l2"] for r in records])), 4),
+    }
+    print(json.dumps({"summary": summary}), flush=True)
+    if a.json:
+        with open(a.json, "a") as f:
+            for r in records + [{"summary": summary}]:
+                f.write(json.dumps(r) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,244 @@
+"""Real-audio ingestion path: wav decode, resampling, catalog packing, and
+the preprocess/generate CLI mains (reference ``preprocess.py`` [M] /
+``test.py`` [M], SURVEY.md §3.5 / §3.4).
+
+Hermetic: all audio is written locally via the stdlib ``wave`` module /
+``utils.wavio`` — no LibriSpeech, no ffmpeg (non-wav decode is exercised
+only when ffmpeg happens to exist on the host).
+"""
+
+import dataclasses
+import io
+import json
+import wave
+
+import numpy as np
+import pytest
+
+from ae_wavenet_tpu.data.dataset import PackedDataset, WindowSampler
+from ae_wavenet_tpu.data.preprocess import load_clip, preprocess_catalog
+from ae_wavenet_tpu.utils.wavio import read_wav, write_wav
+
+
+def _tone(n, sr, f0=440.0, amp=0.3):
+    t = np.arange(n) / sr
+    return (amp * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+
+
+def _write_stereo(path, left, right, sr):
+    x = np.stack([left, right], axis=-1).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+
+
+# ------------------------------------------------------------------- wavio
+
+def test_wavio_roundtrip_int16_exact(tmp_path):
+    x = (np.random.default_rng(0).integers(-32768, 32768, 4000)
+         .astype(np.int16))
+    p = str(tmp_path / "a.wav")
+    write_wav(p, x, 16000)
+    y, sr = read_wav(p)
+    assert sr == 16000
+    np.testing.assert_array_equal(x, y)
+
+
+def test_wavio_float_input_scaled_and_clipped(tmp_path):
+    x = np.array([0.0, 0.5, 1.0, -1.0, 2.0, -2.0], np.float32)
+    p = str(tmp_path / "f.wav")
+    write_wav(p, x, 8000)
+    y, sr = read_wav(p)
+    assert sr == 8000
+    np.testing.assert_array_equal(
+        y, [0, 16384, 32767, -32767, 32767, -32768])
+
+
+def test_read_wav_downmixes_stereo(tmp_path):
+    l = np.array([100, 200, -300], np.int16)
+    r = np.array([300, -200, -100], np.int16)
+    p = tmp_path / "st.wav"
+    _write_stereo(p, l, r, 16000)
+    y, sr = read_wav(str(p))
+    np.testing.assert_array_equal(y, [200, 0, -200])
+
+
+# ---------------------------------------------------------------- load_clip
+
+def test_load_clip_16k_mono_bit_exact(tmp_path):
+    x = np.clip(np.rint(_tone(8000, 16000) * 32767), -32768, 32767).astype(
+        np.int16)
+    p = str(tmp_path / "c.wav")
+    write_wav(p, x, 16000)
+    y = load_clip(p, 16000)
+    np.testing.assert_array_equal(x, y)
+
+
+@pytest.mark.parametrize("sr", [8000, 22050, 44100])
+def test_load_clip_resamples(tmp_path, sr):
+    n = sr  # one second
+    x = np.clip(np.rint(_tone(n, sr, f0=440.0) * 32767), -32768, 32767
+                ).astype(np.int16)
+    p = str(tmp_path / f"r{sr}.wav")
+    write_wav(p, x, sr)
+    y = load_clip(p, 16000)
+    # one second of audio stays one second at the new rate
+    assert abs(len(y) - 16000) <= 2, (sr, len(y))
+    # the tone survives resampling: dominant FFT bin still at 440 Hz
+    spec = np.abs(np.fft.rfft(y[200:-200].astype(np.float64)))
+    f = np.fft.rfftfreq(len(y) - 400, 1 / 16000)
+    assert abs(f[np.argmax(spec)] - 440.0) < 10.0
+
+
+def test_load_clip_stereo_downmix(tmp_path):
+    l = np.full(1000, 1000, np.int16)
+    r = np.full(1000, 3000, np.int16)
+    p = tmp_path / "st.wav"
+    _write_stereo(p, l, r, 16000)
+    y = load_clip(str(p), 16000)
+    assert y.shape == (1000,)
+    np.testing.assert_array_equal(y, np.full(1000, 2000, np.int16))
+
+
+def test_load_clip_rejects_8bit(tmp_path):
+    p = tmp_path / "b.wav"
+    with wave.open(str(p), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(16000)
+        w.writeframes(b"\x80" * 100)
+    with pytest.raises(ValueError, match="16-bit"):
+        load_clip(str(p), 16000)
+
+
+# -------------------------------------------------------- preprocess_catalog
+
+@pytest.fixture()
+def catalog(tmp_path):
+    """3 clips, 2 speakers, mixed rates + one stereo file."""
+    sr_list = [(16000, "a.wav"), (22050, "b.wav")]
+    paths, lens = [], []
+    for sr, name in sr_list:
+        n = sr // 2  # half a second
+        x = np.clip(np.rint(_tone(n, sr, f0=330.0) * 20000), -32768, 32767
+                    ).astype(np.int16)
+        p = tmp_path / name
+        write_wav(str(p), x, sr)
+        paths.append(p)
+        lens.append(n)
+    st = tmp_path / "c.wav"
+    _write_stereo(st, np.full(8000, 500, np.int16),
+                  np.full(8000, 1500, np.int16), 16000)
+    paths.append(st)
+    lens.append(8000)
+    cat = tmp_path / "catalog.txt"
+    cat.write_text(
+        "# comment line\n"
+        f"spkB {paths[0]}\n"
+        "\n"
+        f"spkA {paths[1]}\n"
+        f"spkB {paths[2]}\n"
+    )
+    return cat, tmp_path, lens
+
+
+def test_preprocess_catalog_index_and_data(catalog):
+    cat, d, lens = catalog
+    prefix = str(d / "packed")
+    idx = preprocess_catalog(str(cat), prefix, 16000)
+
+    # speakers sorted and mapped stably; comments/blank lines skipped
+    assert idx["speakers"] == ["spkA", "spkB"]
+    assert idx["n_speakers"] == 2
+    assert [c["speaker"] for c in idx["clips"]] == [1, 0, 1]
+
+    # offsets contiguous and consistent with the .dat byte size
+    offs = [c["offset"] for c in idx["clips"]]
+    ls = [c["length"] for c in idx["clips"]]
+    assert offs == [0, ls[0], ls[0] + ls[1]]
+    dat = np.memmap(prefix + ".dat", dtype="<i2", mode="r")
+    assert len(dat) == sum(ls)
+
+    # 16 kHz clips land bit-exact; the 22.05 kHz one is length-converted
+    assert ls[0] == lens[0]
+    assert abs(ls[1] - 16000 // 2) <= 2
+    assert ls[2] == 8000
+    np.testing.assert_array_equal(
+        dat[offs[2] : offs[2] + ls[2]], np.full(8000, 1000, np.int16))
+
+    # the JSON on disk round-trips to the returned index
+    with open(prefix + ".json") as f:
+        assert json.load(f) == idx
+
+
+def test_preprocessed_catalog_trains(catalog):
+    """The packed output is directly consumable by the training pipeline."""
+    cat, d, _ = catalog
+    prefix = str(d / "packed2")
+    preprocess_catalog(str(cat), prefix, 16000)
+    ds = PackedDataset(prefix)
+    assert len(ds) == 3 and ds.n_speakers == 2
+    s = WindowSampler(ds, u_len=4000, batch_sz=2, seed=0)
+    wav, spk = s.batch_at(0)
+    assert wav.shape == (2, 4000) and wav.dtype == np.int16
+    assert spk.shape == (2,) and set(int(k) for k in spk) <= {0, 1}
+
+
+# -------------------------------------------------------------- CLI mains
+
+def test_cli_preprocess_catalog_mode(catalog, capsys):
+    from ae_wavenet_tpu.cli.preprocess import main
+
+    cat, d, _ = catalog
+    prefix = str(d / "cli_packed")
+    assert main([str(cat), prefix]) == 0
+    out = capsys.readouterr().out
+    assert "3 clips" in out and "2 speakers" in out
+    assert PackedDataset(prefix).n_speakers == 2
+
+
+def test_cli_preprocess_synthetic_mode(tmp_path, capsys):
+    from ae_wavenet_tpu.cli.preprocess import main
+
+    prefix = str(tmp_path / "syn")
+    assert main(["--synthetic", prefix, "--n-clips", "3",
+                 "--n-speakers", "2"]) == 0
+    assert "3 clips" in capsys.readouterr().out
+    ds = PackedDataset(prefix)
+    assert len(ds) == 3 and ds.n_speakers == 2
+
+
+@pytest.mark.slow
+def test_cli_generate_end_to_end(tmp_path, capsys):
+    """Train the tiny fixture 2 steps, checkpoint, and drive the generate
+    CLI through checkpoint load -> encode -> fast-queue sampling -> wav."""
+    from ae_wavenet_tpu.cli.generate import main as gen_main
+    from ae_wavenet_tpu.data.preprocess import make_synthetic_dataset
+    from ae_wavenet_tpu.training.chassis import Chassis
+    from ae_wavenet_tpu.utils.config import tiny_config
+
+    prefix = str(tmp_path / "synth")
+    make_synthetic_dataset(prefix, n_clips=2, n_speakers=2, seed=3,
+                           clip_len=(12000, 16000))
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, n_steps=2, log_every=1))
+    ckpt = str(tmp_path / "ck")
+    ch = Chassis(cfg, prefix, ckpt_dir=ckpt, log_stream=io.StringIO())
+    ch.train(2)
+    ch.save()
+
+    out_wav = str(tmp_path / "out.wav")
+    rc = gen_main([
+        "--ckpt-dir", ckpt, "--data", prefix, "--clip", "1",
+        "--n-samples", "96", "--max-input", "12000",
+        "--temperature", "0.0", "--out", out_wav,
+    ])
+    assert rc == 0
+    assert "wrote" in capsys.readouterr().out
+    y, sr = read_wav(out_wav)
+    assert sr == cfg.spec.sample_rate
+    assert len(y) == 96
+    assert np.all(np.abs(y.astype(np.int32)) <= 32767)
