@@ -5,6 +5,7 @@ import sys
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,7 @@ def test_dryrun_multichip_8():
     g.dryrun_multichip(8)  # raises on any sharding/compile regression
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions():
     """The driver imports this module on a 1-TPU machine where fewer devices
     exist than requested; the dryrun must re-exec itself with a virtual CPU

@@ -2,6 +2,7 @@
 zero-left-padded causal computation (8-way CPU mesh)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +36,7 @@ def test_sp_dilated_conv_matches_padded():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sp_wavenet_stack_matches_single_device():
     cfg = WaveNetConfig(
         n_blocks=2, n_block_layers=3, n_res=8, n_dil=8, n_skp=8, n_post=8,

@@ -19,6 +19,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy: opt-in via `pytest -m slow`
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 

@@ -46,6 +46,7 @@ def test_metrics_logger_jsonl_and_strings():
     assert rec == {"step": 3, "loss": 1.5, "saved": "/tmp/x"}
 
 
+@pytest.mark.slow
 def test_tensorboard_events_written(data_prefix, tmp_path):
     tb = str(tmp_path / "tb")
     log = io.StringIO()
@@ -60,6 +61,7 @@ def test_tensorboard_events_written(data_prefix, tmp_path):
     assert any("recon_ce" in r for r in recs)
 
 
+@pytest.mark.slow
 def test_profile_trace_written(data_prefix, tmp_path):
     prof = str(tmp_path / "prof")
     log = io.StringIO()
@@ -87,6 +89,7 @@ def test_nan_checks_raise_on_poisoned_params(data_prefix):
         ch.train(2)
 
 
+@pytest.mark.slow
 def test_nan_checks_pass_on_healthy_run(data_prefix):
     ch = Chassis(_short_cfg(2), data_prefix, log_stream=io.StringIO(),
                  nan_checks=True)

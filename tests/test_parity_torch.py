@@ -24,6 +24,8 @@ import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from scripts import torch_mirror as tm  # noqa: E402
 
+pytestmark = pytest.mark.slow  # heavy: opt-in via `pytest -m slow`
+
 STEPS = 25
 
 
