@@ -1,0 +1,130 @@
+"""The SHIPPED flagship combination, compiled: fused Pallas train stack
+UNDER a device mesh (shard_map DP) on a real TPU.
+
+Round-2 verdict gap: the flagship config (``use_pallas_stack=True``) forces
+the shard_map DP implementation, but no artifact had ever compiled
+``pallas_call`` inside the meshed train step on any real backend — CPU
+tests fall back to the XLA stack and the TPU tests were all single-device
+un-meshed.  This file closes that: a 1-device TPU mesh runs the REAL
+shard_map train step with the fused kernels (Mosaic-compiled, not
+interpreted) and must match the un-meshed step.
+
+Reference parity: SURVEY.md §2.2 DP row — the reference's entire
+distributed story is 8-core data parallelism of its full model
+(``train.py``/``chassis.py`` ``xmp.spawn`` + ``xm.optimizer_step`` [H]);
+our "full model" is the fused-stack flagship, so THIS combination is the
+one that must provably compile.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ae_wavenet_tpu.models import autoencoder as ae
+from ae_wavenet_tpu.ops import gated_pallas as gp
+from ae_wavenet_tpu.parallel import mesh as mesh_mod
+from ae_wavenet_tpu.training.chassis import make_optimizer, make_train_step
+from ae_wavenet_tpu.utils.config import (
+    BottleneckConfig, RunConfig, TrainConfig, WaveNetConfig,
+)
+
+
+def _flagship_small_window():
+    """Flagship channel dims / dilation schedule / VQ bottleneck / fused
+    Pallas stack, at a window just big enough for the kernels' tiling."""
+    return RunConfig(
+        bottleneck=BottleneckConfig(kind="vq"),
+        wavenet=WaveNetConfig(use_pallas_stack=True),
+        train=TrainConfig(batch_sz=4, n_win=2048),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _flagship_small_window()
+    spec = ae.make_window_spec(cfg)
+    # the guard the model's apply() consults must pass at these dims —
+    # otherwise this test would silently exercise the XLA fallback
+    assert gp.supports_pallas_stack(cfg.wavenet, spec.t_in)
+    assert jax.devices()[0].platform == "tpu"
+    params, bn_state = ae.init(jax.random.PRNGKey(0), cfg)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    # hold the fixture state on HOST: the train steps donate their inputs,
+    # and a device_put of an already-on-device tree can alias the original
+    # buffers, so donated device trees would poison the shared fixture
+    params = jax.tree.map(np.asarray, params)
+    bn_state = jax.tree.map(np.asarray, bn_state)
+    opt_state = jax.tree.map(np.asarray, opt_state)
+    rng = np.random.default_rng(0)
+    wav = rng.integers(-8000, 8000, (cfg.train.batch_sz, spec.u_len)
+                       ).astype(np.int16)
+    spk = rng.integers(0, cfg.wavenet.n_speakers,
+                       (cfg.train.batch_sz,)).astype(np.int32)
+    return cfg, spec, params, bn_state, optimizer, opt_state, wav, spk
+
+
+def test_flagship_pallas_stack_compiles_under_mesh(setup):
+    """shard_map(train step with pallas_call) on a 1-device TPU mesh ==
+    the un-meshed jitted step (same kernels, same numerics)."""
+    cfg, spec, params, bn_state, optimizer, opt_state, wav, spk = setup
+
+    base_key = jax.random.PRNGKey(1)
+    plain_fn = make_train_step(cfg, spec, optimizer, base_key, mesh=None)
+    p1, o1, b1, m1 = plain_fn(
+        jax.tree.map(jnp.copy, params), jax.tree.map(jnp.copy, opt_state),
+        jax.tree.map(jnp.copy, bn_state), jnp.asarray(wav), jnp.asarray(spk),
+        jnp.int32(0))
+    jax.block_until_ready(m1)
+
+    mesh = mesh_mod.make_mesh(jax.devices()[:1])
+    repl = mesh_mod.replicated(mesh)
+    data = mesh_mod.batch_sharding(mesh)
+    mesh_fn = make_train_step(cfg, spec, optimizer, base_key, mesh=mesh)
+    p2, o2, b2, m2 = mesh_fn(
+        jax.device_put(params, repl), jax.device_put(opt_state, repl),
+        jax.device_put(bn_state, repl), jax.device_put(wav, data),
+        jax.device_put(spk, data), jnp.int32(0))
+    jax.block_until_ready(m2)
+
+    # the one-shard shard_map runs the identical per-device program, so the
+    # fused kernels see the same operands; tolerances cover compiler
+    # scheduling differences between the two XLA programs
+    assert np.isfinite(float(m2["loss"]))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-4, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(b1), jax.tree.leaves(b2)):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32),
+            rtol=2e-4, atol=2e-4)
+
+
+def test_flagship_mesh_step_advances(setup):
+    """Two consecutive meshed fused-stack steps keep the state finite and
+    actually change the parameters (the compiled collective step is a real
+    training step, not a no-op)."""
+    cfg, spec, params, bn_state, optimizer, opt_state, wav, spk = setup
+    mesh = mesh_mod.make_mesh(jax.devices()[:1])
+    repl = mesh_mod.replicated(mesh)
+    data = mesh_mod.batch_sharding(mesh)
+    fn = make_train_step(cfg, spec, optimizer, jax.random.PRNGKey(1), mesh=mesh)
+    p = jax.device_put(params, repl)
+    o = jax.device_put(opt_state, repl)
+    b = jax.device_put(bn_state, repl)
+    w = jax.device_put(wav, data)
+    s = jax.device_put(spk, data)
+    p1, o1, b1, m1 = fn(p, o, b, w, s, jnp.int32(0))
+    p2, o2, b2, m2 = fn(p1, o1, b1, w, s, jnp.int32(1))
+    jax.block_until_ready(m2)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    a0 = np.asarray(jax.tree.leaves(params)[0], np.float32)
+    a2 = np.asarray(jax.tree.leaves(p2)[0], np.float32)
+    assert np.abs(a0 - a2).max() > 0
