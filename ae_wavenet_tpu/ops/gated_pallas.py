@@ -352,14 +352,214 @@ def gated_pair_fused(x, cond, skip, pk1, pk2, *, dd1: int, dd2: int,
     return tuple(outs)
 
 
+def gated_stack_fused(x, cond, skip, packed, *, dils, t_min: int, tile: int,
+                      interpret: bool = False, save_y: bool = False,
+                      save_mids: bool = True):
+    """The WHOLE dilated stack in ONE kernel: every inter-layer residual
+    stream stays in VMEM.
+
+    Full-stack generalization of :func:`gated_pair_fused`: per grid step
+    (one batch row x one time tile) the kernel runs all L gated layers
+    back-to-back on the tile.  Layer l's prev tap (``x_l[g - dd_l]``) comes
+    from a PERSISTENT per-layer tail scratch carried across the
+    sequentially-iterated tile axis — tile t-1's last ``dd_l`` rows of
+    layer l's input are exactly what tile t needs.  Versus the pair
+    schedule this removes L/2-1 residual-stream HBM halo reads, L/2-1
+    float32 skip read+write round trips (skip accumulates ONCE in VMEM),
+    and L/2-1 cond tile reads; the only remaining HBM traffic is x0 in,
+    cond in, skip once, and the backward's saved streams out (mids + y),
+    written via manually-pipelined DMA from staging scratch.
+
+    Requires every ``dils[1:]`` < tile (tails fit one tile back).  The
+    saved mids/y layouts are IDENTICAL to the pair path's, so the existing
+    pair/single backward kernels consume them unchanged.
+
+    Returns (skip', mids tuple [L-1], ys tuple [L if save_y else 0]).
+    """
+    L = len(dils)
+    assert L >= 2 and all(0 < d < tile for d in dils[1:])
+    bsz, lp, n_res = x.shape
+    p_len = cond.shape[1]
+    lpad = lp - p_len
+    n_skp = skip.shape[-1]
+    n_cond_pad = cond.shape[-1]
+    n_dil = packed[0][0].shape[-1] // 2
+    tt = tile
+    nt = p_len // tt - t_min
+    dd0 = dils[0]
+    dd0_pad = _round_up(dd0, 16)
+    lpad_blk = lpad // tt
+    assert lpad % tt == 0 and p_len % tt == 0 and dd0_pad <= lpad
+
+    w_in_all = jnp.stack([p[0] for p in packed]).astype(jnp.bfloat16)
+    b_in_all = jnp.stack([p[1] for p in packed]).astype(jnp.float32)
+    w_out_all = jnp.stack([p[2] for p in packed]).astype(jnp.bfloat16)
+    b_out_all = jnp.stack([p[3] for p in packed]).astype(jnp.float32)
+
+    tail_offs, acc = [], 0
+    for d in dils[1:]:
+        tail_offs.append(acc)
+        acc += d
+    n_tail = max(acc, 1)
+    n_mids = L - 1 if save_mids else 0
+    n_ys = L if (save_y and save_mids) else 0
+
+    def kernel(x_hbm, cond_ref, skip_ref, wi_ref, bi_ref, wo_ref, bo_ref,
+               *rest):
+        skip_out_ref = rest[0]
+        mid_refs = rest[1 : 1 + n_mids]
+        y_refs = rest[1 + n_mids : 1 + n_mids + n_ys]
+        scr = rest[1 + n_mids + n_ys :]
+        if n_ys:
+            (x_scr, xin_scr, tails_scr, mid_stage, y_stage, rd_sems,
+             mid_sems, y_sems) = scr
+        elif n_mids:
+            x_scr, xin_scr, tails_scr, mid_stage, rd_sems, mid_sems = scr
+        else:
+            x_scr, xin_scr, tails_scr, rd_sems = scr
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+
+        def rd_x(bb, tile_t, slot):
+            start = lpad - dd0_pad + (t_min + tile_t) * tt
+            return pltpu.make_async_copy(
+                x_hbm.at[bb, pl.ds(start, tt + dd0_pad), :],
+                x_scr.at[slot], rd_sems.at[slot])
+
+        def wr_mid(l, bb, tile_t):
+            start = lpad + (t_min + tile_t) * tt
+            return pltpu.make_async_copy(
+                mid_stage.at[l], mid_refs[l].at[bb, pl.ds(start, tt), :],
+                mid_sems.at[l])
+
+        def wr_y(l, bb, tile_t):
+            start = (t_min + tile_t) * tt
+            return pltpu.make_async_copy(
+                y_stage.at[l], y_refs[l].at[bb, pl.ds(start, tt), :],
+                y_sems.at[l])
+
+        @pl.when(t == 0)
+        def _():
+            rd_x(b, 0, 0).start()
+
+        @pl.when(t + 1 < nt)
+        def _():
+            rd_x(b, t + 1, (t + 1) % 2).start()
+
+        slot = jax.lax.rem(t, 2)
+        rd_x(b, t, slot).wait()
+
+        skip_acc = skip_ref[0]
+        xin_scr[:, 2 * n_res :] = cond_ref[0]
+        x_stream = None  # layer input for l >= 1 (VMEM value)
+        for l in range(L):
+            if l == 0:
+                xin_scr[:, :n_res] = x_scr[slot, dd0_pad - dd0
+                                           : dd0_pad - dd0 + tt, :]
+                cur = x_scr[slot, dd0_pad:, :]
+                xin_scr[:, n_res : 2 * n_res] = cur
+            else:
+                dd = dils[l]
+                off = tail_offs[l - 1]
+                # prev tap: tile t-1's last dd rows of this layer's input
+                # (garbage on each batch row's first tile — those rows are
+                # below the layer's lattice, same argument as the pair
+                # kernel)
+                xin_scr[:dd, :n_res] = tails_scr[off : off + dd]
+                xin_scr[dd:, :n_res] = x_stream[: tt - dd]
+                tails_scr[off : off + dd] = x_stream[tt - dd :]
+                cur = x_stream
+                xin_scr[:, n_res : 2 * n_res] = x_stream
+            y = jnp.dot(xin_scr[:], wi_ref[l],
+                        preferred_element_type=jnp.float32) + bi_ref[l]
+            if n_ys:
+                @pl.when(t > 0)
+                def _(l=l):
+                    wr_y(l, b, t - 1).wait()
+                y_stage[l] = y.astype(jnp.bfloat16)
+                wr_y(l, b, t).start()
+            h = (jnp.tanh(y[:, :n_dil]) * jax.nn.sigmoid(y[:, n_dil:])
+                 ).astype(jnp.bfloat16)
+            out = jnp.dot(h, wo_ref[l],
+                          preferred_element_type=jnp.float32) + bo_ref[l]
+            x_new = cur + out[:, :n_res].astype(jnp.bfloat16)
+            skip_acc = skip_acc + out[:, n_res:]
+            if l < L - 1 and n_mids:
+                @pl.when(t > 0)
+                def _(l=l):
+                    wr_mid(l, b, t - 1).wait()
+                mid_stage[l] = x_new
+                wr_mid(l, b, t).start()
+            x_stream = x_new
+        skip_out_ref[0] = skip_acc
+
+        # drain the staging DMAs before this batch row's sweep ends (the
+        # next row's t==0 reuses the staging slots without a pre-wait)
+        @pl.when(t == nt - 1)
+        def _():
+            for l in range(n_mids):
+                wr_mid(l, b, t).wait()
+            for l in range(n_ys):
+                wr_y(l, b, t).wait()
+
+    def spec(c, off=0):
+        return pl.BlockSpec((1, tt, c),
+                            lambda b, t, _o=off: (b, _o + t_min + t, 0),
+                            memory_space=pltpu.VMEM)
+
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    out_specs = ([spec(n_skp)] + [any_spec] * n_mids + [any_spec] * n_ys)
+    out_shape = (
+        [jax.ShapeDtypeStruct(skip.shape, jnp.float32)]
+        + [jax.ShapeDtypeStruct((bsz, lp, n_res), jnp.bfloat16)] * n_mids
+        + [jax.ShapeDtypeStruct((bsz, p_len, 2 * n_dil), jnp.bfloat16)] * n_ys
+    )
+    scratch = [
+        pltpu.VMEM((2, tt + dd0_pad, n_res), jnp.bfloat16),
+        pltpu.VMEM((tt, 2 * n_res + n_cond_pad), jnp.bfloat16),
+        pltpu.VMEM((n_tail, n_res), jnp.bfloat16),
+    ]
+    if n_mids:
+        scratch.append(pltpu.VMEM((n_mids, tt, n_res), jnp.bfloat16))
+    if n_ys:
+        scratch.append(pltpu.VMEM((n_ys, tt, 2 * n_dil), jnp.bfloat16))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    if n_mids:
+        scratch.append(pltpu.SemaphoreType.DMA((n_mids,)))
+    if n_ys:
+        scratch.append(pltpu.SemaphoreType.DMA((n_ys,)))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nt),
+        in_specs=[any_spec, spec(n_cond_pad), spec(n_skp),
+                  wspec, wspec, wspec, wspec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={2: 0},                     # skip in -> out
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=110 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, cond, skip, w_in_all, b_in_all, w_out_all, b_out_all)
+    skip_out = outs[0]
+    mids = tuple(outs[1 : 1 + n_mids])
+    ys = tuple(outs[1 + n_mids : 1 + n_mids + n_ys])
+    return skip_out, mids, ys
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile", "interpret", "save_y",
-                                    "fuse_pairs", "btq"))
+                                    "fuse_pairs", "full_fusion", "btq"))
 def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
                 cond: jax.Array, gc_ids: jax.Array | None = None, *,
                 tile: int | None = None, interpret: bool = False,
                 save_y: bool | None = None,
                 fuse_pairs: bool | None = None,
+                full_fusion: bool | None = None,
                 btq: bool = False) -> jax.Array:
     """Drop-in forward of models/wavenet.apply built on the fused layers.
 
@@ -405,12 +605,14 @@ def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
     # samples/s/chip (+12.5%) on the flagship step (BASELINE.md)
     if fuse_pairs is None:
         fuse_pairs = cfg.gated_fuse_pairs
+    if full_fusion is None:
+        full_fusion = cfg.gated_full_fusion
     tt_bwd = cfg.gated_bwd_tile or tt
     if tt % tt_bwd != 0:
         raise ValueError(
             f"gated_bwd_tile={tt_bwd} must divide the forward tile {tt}")
     core = _stack_core(dils, t_in, cfg.n_skp, tt, interpret, save_y,
-                       fuse_pairs, tt_bwd)
+                       fuse_pairs, tt_bwd, full_fusion)
     skip = core(x, cond_buf, packed)
 
     skip_out = jax.lax.dynamic_slice(
@@ -889,7 +1091,8 @@ def gated_pair_bwd(x1, x2, cond, gxcur, gxprev, gskip, gcond, pk1, pk2,
 @functools.lru_cache(maxsize=64)
 def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
                 interpret: bool, save_y: bool = True,
-                fuse_pairs: bool = False, bwd_tile: int | None = None):
+                fuse_pairs: bool = False, bwd_tile: int | None = None,
+                full_fusion: bool = False):
     """custom_vjp'd fused stack: (x0, cond_buf, packed_weights) -> skip_buf.
 
     Forward runs the fused layers; backward runs :func:`gated_layer_bwd` in
@@ -917,6 +1120,18 @@ def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
     def run_fwd(x, cond_buf, packed, save):
         bsz = x.shape[0]
         skip = jnp.zeros((bsz, p_len, n_skp), jnp.float32)
+        if (full_fusion and len(dils) >= 2
+                and all(0 < d < tt for d in dils[1:])):
+            # whole-stack fusion: one kernel, inter-layer streams in VMEM,
+            # skip accumulated once (gated_stack_fused); mids/y written in
+            # the pair path's exact layout so the backward is unchanged
+            skip, mids, ys_t = gated_stack_fused(
+                x, cond_buf, skip, packed, dils=dils,
+                t_min=layer_geo(0)[1], tile=tt, interpret=interpret,
+                save_y=save and save_y, save_mids=save,
+            )
+            xs = (x,) + mids if save else ()
+            return skip, tuple(xs), tuple(ys_t)
         xs, ys = [], []
         i = 0
         while i < len(dils):

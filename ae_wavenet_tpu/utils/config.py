@@ -89,6 +89,12 @@ class WaveNetConfig:
                                   # skips the xin@w_in recompute GEMM
     gated_fuse_pairs: bool = True  # fuse consecutive layer pairs into one
                                    # kernel (persistent VMEM mid-stream)
+    gated_full_fusion: bool = False  # whole-stack single-kernel forward
+                                     # (all inter-layer streams in VMEM,
+                                     # skip accumulated once); overrides
+                                     # pair fusion for the FORWARD only —
+                                     # the backward keeps the pair/single
+                                     # schedule
     fastgen_vmem_dil_max: int = 16  # AR sampler: ring buffers with dilation
                                     # <= this stay VMEM-resident
 

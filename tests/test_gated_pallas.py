@@ -298,3 +298,63 @@ def test_stack_apply_reads_knobs_from_config():
                                gated_fuse_pairs=True)
     implicit = gp.stack_apply(params, cfg2, x_ids, cond, spk, interpret=True)
     np.testing.assert_array_equal(np.asarray(explicit), np.asarray(implicit))
+
+
+@pytest.mark.parametrize("t_out,tile", [(170, 64), (70, 128)])
+def test_full_fusion_matches_xla(t_out, tile):
+    """Whole-stack single-kernel forward (gated_stack_fused): logits match
+    the XLA stack, and the saved mids/y feed the UNCHANGED pair backward
+    (grads match XLA)."""
+    params, x_ids, cond, spk = _inputs(t_out)
+    ref = wavenet.apply(params, CFG, x_ids, cond, spk, dtype=jnp.bfloat16)
+    got = gp.stack_apply(params, CFG, x_ids, cond, spk, tile=tile,
+                         interpret=True, full_fusion=True)
+    d = np.abs(np.asarray(ref, np.float32) - np.asarray(got, np.float32))
+    assert d.max() < 0.05, d.max()
+
+    # identical to the pair-fused path bit-for-bit is NOT required (dot
+    # grouping differs), but it must agree to the same bf16 tolerance
+    pair = gp.stack_apply(params, CFG, x_ids, cond, spk, tile=tile,
+                          interpret=True, fuse_pairs=True)
+    dp = np.abs(np.asarray(pair, np.float32) - np.asarray(got, np.float32))
+    assert dp.max() < 0.05, dp.max()
+
+
+def test_full_fusion_grads_match_xla():
+    params, x_ids, cond, spk = _inputs(170)
+    probe = jax.random.normal(jax.random.PRNGKey(9),
+                              (x_ids.shape[0], CFG.n_quant, 170)) * 0.1
+
+    def loss_xla(p, c):
+        out = wavenet.apply(p, CFG, x_ids, c, spk, dtype=jnp.bfloat16)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    def loss_full(p, c):
+        out = gp.stack_apply(p, CFG, x_ids, c, spk, tile=64, interpret=True,
+                             full_fusion=True)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    gx = jax.grad(loss_xla, argnums=(0, 1))(params, cond)
+    gf = jax.grad(loss_full, argnums=(0, 1))(params, cond)
+
+    def flat(t):
+        return np.concatenate(
+            [np.asarray(v, np.float32).ravel() for v in jax.tree.leaves(t)])
+
+    fx, ff = flat(gx), flat(gf)
+    assert np.isfinite(ff).all()
+    scale = np.abs(fx).max() + 1e-9
+    assert np.abs(ff - fx).max() / scale < 0.05, np.abs(ff - fx).max() / scale
+
+
+def test_full_fusion_no_save_y_recompute_bwd():
+    """full_fusion forward + save_y=False: the backward takes the
+    single-layer recompute path off the saved mids."""
+    params, x_ids, cond, spk = _inputs(70)
+    ref = gp.stack_apply(params, CFG, x_ids, cond, spk, tile=128,
+                         interpret=True, save_y=False, fuse_pairs=False)
+    got = gp.stack_apply(params, CFG, x_ids, cond, spk, tile=128,
+                         interpret=True, save_y=False, full_fusion=True)
+    np.testing.assert_allclose(np.asarray(ref, np.float32),
+                               np.asarray(got, np.float32),
+                               rtol=0.05, atol=0.05)
