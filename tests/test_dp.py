@@ -161,3 +161,51 @@ def test_shard_map_restarts_stay_identical():
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for sh in shards[1:]:
         np.testing.assert_array_equal(shards[0], sh)
+
+
+def test_mesh_k_step_block_matches_two_singles():
+    """steps_per_call=2 under the 8-device mesh (shard_map, block sharding
+    P(None, 'data')) == two consecutive single-step mesh dispatches."""
+    cfg = _cfg()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, dp_impl="shard_map"))
+    spec = ae.make_window_spec(cfg)
+    params, bn_state, optimizer, opt_state, wav, spk = _setup(cfg, spec)
+    rng = np.random.default_rng(3)
+    wav2 = rng.integers(-8000, 8000, (8, spec.u_len)).astype(np.int16)
+    spk2 = rng.integers(0, cfg.wavenet.n_speakers, (8,)).astype(np.int32)
+    key = jax.random.PRNGKey(1)
+    mesh = mesh_mod.make_mesh()
+    repl = mesh_mod.replicated(mesh)
+    data = mesh_mod.batch_sharding(mesh)
+    blk = mesh_mod.block_sharding(mesh)
+    # host copies: both step programs donate their inputs, and device_put
+    # of an already-on-device tree can alias (donating would delete the
+    # shared fixture arrays)
+    params = jax.tree.map(np.asarray, params)
+    opt_state = jax.tree.map(np.asarray, opt_state)
+    bn_state = jax.tree.map(np.asarray, bn_state)
+
+    def rep(tree):
+        return jax.device_put(tree, repl)
+
+    single = make_train_step(cfg, spec, optimizer, key, mesh)
+    p, o, b, _ = single(rep(params), rep(opt_state), rep(bn_state),
+                        jax.device_put(wav, data), jax.device_put(spk, data),
+                        jnp.int32(0))
+    p, o, b, m1 = single(p, o, b, jax.device_put(wav2, data),
+                         jax.device_put(spk2, data), jnp.int32(1))
+
+    block = make_train_step(cfg, spec, optimizer, key, mesh,
+                            n_steps_per_call=2)
+    wavs = jax.device_put(np.stack([wav, wav2]), blk)
+    spks = jax.device_put(np.stack([spk, spk2]), blk)
+    p2, o2, b2, m2 = block(rep(params), rep(opt_state), rep(bn_state),
+                           wavs, spks, jnp.int32(0))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for x, y in zip(jax.tree.leaves(p), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32),
+                                   rtol=1e-5, atol=1e-6)
