@@ -41,6 +41,9 @@ def main() -> int:
     ap.add_argument("--out", default="docs/long_run_r3.jsonl")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--quality-samples", type=int, default=16000)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny CPU-runnable smoke of the whole driver "
+                         "(plumbing check before burning TPU time)")
     a = ap.parse_args()
 
     from ae_wavenet_tpu.data.preprocess import make_synthetic_dataset
@@ -55,18 +58,36 @@ def main() -> int:
         if not os.path.exists(prefix + ".json"):
             # maximize fixture realism: many speakers, long clips (verdict
             # weak #5) — still synthetic, see module docstring
-            make_synthetic_dataset(prefix, n_clips=32, n_speakers=8,
-                                   clip_len=(120_000, 240_000), seed=11)
+            if a.tiny:
+                make_synthetic_dataset(prefix, n_clips=8, n_speakers=4,
+                                       clip_len=(14000, 20000), seed=11)
+            else:
+                make_synthetic_dataset(prefix, n_clips=32, n_speakers=8,
+                                       clip_len=(120_000, 240_000), seed=11)
 
-    cfg = RunConfig(
-        bottleneck=BottleneckConfig(kind="vq"),
-        wavenet=WaveNetConfig(use_pallas_stack=True),
-        train=TrainConfig(
-            batch_sz=a.batch_sz, n_win=a.n_win, n_steps=a.steps,
-            log_every=a.log_every, ckpt_every=a.ckpt_every,
-            holdout_every=5, steps_per_call=a.steps_per_call,
-        ),
-    )
+    if a.tiny:
+        from ae_wavenet_tpu.utils.config import tiny_config
+        import dataclasses
+
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            bottleneck=BottleneckConfig(kind="vq", n_dim=16, vq_k=32),
+            train=dataclasses.replace(
+                cfg.train, n_steps=a.steps, log_every=a.log_every,
+                ckpt_every=a.ckpt_every, holdout_every=5,
+                steps_per_call=a.steps_per_call),
+        )
+    else:
+        cfg = RunConfig(
+            bottleneck=BottleneckConfig(kind="vq"),
+            wavenet=WaveNetConfig(use_pallas_stack=True),
+            train=TrainConfig(
+                batch_sz=a.batch_sz, n_win=a.n_win, n_steps=a.steps,
+                log_every=a.log_every, ckpt_every=a.ckpt_every,
+                holdout_every=5, steps_per_call=a.steps_per_call,
+            ),
+        )
     ckpt_dir = os.path.join(a.workdir, "ckpt")
     log_f = open(a.out, "a", buffering=1)
     log_f.write(json.dumps({"run_config": "flagship", "steps": a.steps,
