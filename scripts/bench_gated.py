@@ -65,6 +65,8 @@ def main():
         p, cfg, i, c, s, dtype=jnp.bfloat16))
     pallas_fwd = jax.jit(lambda p, i, c, s: gp.stack_apply(
         p, cfg, i, c, s, tile=a.tile))
+    full_fwd = jax.jit(lambda p, i, c, s: gp.stack_apply(
+        p, cfg, i, c, s, tile=a.tile, full_fusion=True))
 
     ref = xla_fwd(params, x_ids, cond, spk)
     got = pallas_fwd(params, x_ids, cond, spk)
@@ -72,17 +74,27 @@ def main():
     print(f"correctness: max abs diff {d.max():.5f} mean {d.mean():.6f}",
           file=sys.stderr)
 
+    gotf = full_fwd(params, x_ids, cond, spk)
+    df = np.abs(np.asarray(ref, np.float32) - np.asarray(gotf, np.float32))
+    print(f"full-fusion correctness: max abs diff {df.max():.5f}",
+          file=sys.stderr)
+
     t_xla = timeit(xla_fwd, a.iters, params, x_ids, cond, spk)
     t_pal = timeit(pallas_fwd, a.iters, params, x_ids, cond, spk)
+    t_full = timeit(full_fwd, a.iters, params, x_ids, cond, spk)
     samples = a.batch * a.n_win
     print(json.dumps({
         "config": f"b{a.batch} x {a.n_win}, tile {a.tile}",
         "xla_fwd_ms": round(t_xla * 1e3, 2),
         "pallas_fwd_ms": round(t_pal * 1e3, 2),
+        "full_fusion_fwd_ms": round(t_full * 1e3, 2),
         "xla_fwd_samples_per_sec": round(samples / t_xla),
         "pallas_fwd_samples_per_sec": round(samples / t_pal),
+        "full_fusion_fwd_samples_per_sec": round(samples / t_full),
         "speedup": round(t_xla / t_pal, 3),
+        "full_fusion_speedup_vs_pairs": round(t_pal / t_full, 3),
         "max_abs_diff": float(d.max()),
+        "full_fusion_max_abs_diff": float(df.max()),
     }))
 
 
