@@ -139,6 +139,9 @@ def build_parser() -> argparse.ArgumentParser:
     new.add_argument("--no-gated-fuse-pairs", dest="gated_fuse_pairs",
                      action="store_false", default=None,
                      help="disable two-layer pair fusion in the fused stack")
+    new.add_argument("--gated-bwd-group", type=int, default=None,
+                     help=">=3: grouped backward, N consecutive layers per "
+                          "kernel with VMEM-resident cotangent streams")
     new.add_argument("--gated-full-fusion", action="store_true", default=None,
                      help="whole-stack single-kernel forward (inter-layer "
                           "streams VMEM-resident; backward keeps the pair "
@@ -180,6 +183,7 @@ def config_from_args(a) -> config_mod.RunConfig:
               gated_save_y=a.gated_save_y,
               gated_fuse_pairs=a.gated_fuse_pairs,
               gated_full_fusion=a.gated_full_fusion,
+              gated_bwd_group=a.gated_bwd_group,
               fastgen_vmem_dil_max=a.fastgen_vmem_dil_max)
     if a.lc_upsample_strides is not None and a.lc_upsample_filters is None:
         wn = dataclasses.replace(

@@ -553,13 +553,15 @@ def gated_stack_fused(x, cond, skip, packed, *, dils, t_min: int, tile: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "tile", "interpret", "save_y",
-                                    "fuse_pairs", "full_fusion", "btq"))
+                                    "fuse_pairs", "full_fusion", "bwd_group",
+                                    "btq"))
 def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
                 cond: jax.Array, gc_ids: jax.Array | None = None, *,
                 tile: int | None = None, interpret: bool = False,
                 save_y: bool | None = None,
                 fuse_pairs: bool | None = None,
                 full_fusion: bool | None = None,
+                bwd_group: int | None = None,
                 btq: bool = False) -> jax.Array:
     """Drop-in forward of models/wavenet.apply built on the fused layers.
 
@@ -607,12 +609,14 @@ def stack_apply(params: dict, cfg: WaveNetConfig, x_ids: jax.Array,
         fuse_pairs = cfg.gated_fuse_pairs
     if full_fusion is None:
         full_fusion = cfg.gated_full_fusion
+    if bwd_group is None:
+        bwd_group = cfg.gated_bwd_group
     tt_bwd = cfg.gated_bwd_tile or tt
     if tt % tt_bwd != 0:
         raise ValueError(
             f"gated_bwd_tile={tt_bwd} must divide the forward tile {tt}")
     core = _stack_core(dils, t_in, cfg.n_skp, tt, interpret, save_y,
-                       fuse_pairs, tt_bwd, full_fusion)
+                       fuse_pairs, tt_bwd, full_fusion, bwd_group)
     skip = core(x, cond_buf, packed)
 
     skip_out = jax.lax.dynamic_slice(
@@ -1088,11 +1092,235 @@ def gated_pair_bwd(x1, x2, cond, gxcur, gxprev, gskip, gcond, pk1, pk2,
     return outs
 
 
+def gated_group_bwd(xs_g, cond, gxcur, gxprev, gskip, gcond, pks, ys_g, *,
+                    dds, prev_dd: int, t_min: int, valid_los,
+                    cur_valid_lo: int, tile: int, interpret: bool = False):
+    """Fused backward of G consecutive gated layers (saved-y only).
+
+    Generalization of :func:`gated_pair_bwd` from 2 to G layers: ALL
+    inter-layer cotangent streams inside the group stay in VMEM.  The grid
+    iterates tiles DESCENDING; each inner layer boundary j carries a
+    persistent head scratch holding layer j's prev-tap cotangent rows
+    [g + tt, g + tt + dd_j) produced by the previous (higher) tile —
+    exactly the pair kernel's head, one per boundary.  Versus G/2 pair
+    launches this removes G/2 - 1 round trips each of the gx streams, the
+    gskip read, and the f32 gcond read+write.
+
+    xs_g / ys_g / pks / dds / valid_los: per-layer tuples, LOWER layer
+    first.  prev_dd / cur_valid_lo describe the layer ABOVE the group
+    (identical contract to the pair kernel).  Requires every dds[1:] <
+    tile.  Returns (gxcur', gxprev', gcond', (dwi, dbi, dwo, dbo) x G).
+    """
+    G = len(dds)
+    assert G >= 2 and all(0 < d < tile for d in dds[1:])
+    w_ins = [p[0].astype(jnp.bfloat16) for p in pks]
+    w_outs = [p[2].astype(jnp.bfloat16) for p in pks]
+    bsz, lp, n_res = xs_g[0].shape
+    p_len = cond.shape[1]
+    lpad = lp - p_len
+    rpad = gxprev.shape[1] - lp
+    n_cond_pad = cond.shape[-1]
+    n_dil = w_ins[0].shape[-1] // 2
+    n_skp = gskip.shape[-1]
+    xin_w = 2 * n_res + n_cond_pad
+    tt = tile
+    nt = p_len // tt - t_min
+    dd_pads = [_round_up(d, 16) for d in dds]
+    pdd_pad = _round_up(prev_dd, 16) if prev_dd else 0
+    lpad_blk = lpad // tt
+    assert lpad % tt == 0 and pdd_pad <= rpad
+    assert all(dp <= lpad for dp in dd_pads)
+
+    head_offs, acc = [], 0
+    for d in dds[1:]:
+        head_offs.append(acc)
+        acc += d
+    n_head = max(acc, 1)
+
+    def kernel(*refs):
+        i = 0
+        x_hbms = refs[i : i + G]; i += G
+        gxp_hbm = refs[i]; i += 1
+        cond_ref, gxc_ref, gsk_ref, gcond_ref = refs[i : i + 4]; i += 4
+        wi_refs = refs[i : i + G]; i += G
+        wo_refs = refs[i : i + G]; i += G
+        y_refs = refs[i : i + G]; i += G
+        gxc_out_ref, gxp_out_ref, gcond_out_ref = refs[i : i + 3]; i += 3
+        dw_refs = refs[i : i + 4 * G]; i += 4 * G
+        x_scrs = refs[i : i + G]; i += G
+        gxp_scr, xin_scr, head_scr, rd_sems = refs[i : i + 4]
+
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        rt = nt - 1 - t          # descending tile order
+        is_first = (b == 0) & (t == 0)
+
+        def rd_x(j, bb, tile_rt, slot):
+            start = lpad - dd_pads[j] + (t_min + tile_rt) * tt
+            return pltpu.make_async_copy(
+                x_hbms[j].at[bb, pl.ds(start, tt + dd_pads[j]), :],
+                x_scrs[j].at[slot], rd_sems.at[slot, j])
+
+        def rd_gxp(bb, tile_rt, slot):
+            start = lpad + (t_min + tile_rt) * tt
+            return pltpu.make_async_copy(
+                gxp_hbm.at[bb, pl.ds(start, tt + pdd_pad), :],
+                gxp_scr.at[slot], rd_sems.at[slot, G])
+
+        @pl.when(t == 0)
+        def _():
+            for j in range(G):
+                rd_x(j, b, rt, 0).start()
+            if prev_dd:
+                rd_gxp(b, rt, 0).start()
+
+        @pl.when(t + 1 < nt)
+        def _():
+            for j in range(G):
+                rd_x(j, b, rt - 1, (t + 1) % 2).start()
+            if prev_dd:
+                rd_gxp(b, rt - 1, (t + 1) % 2).start()
+
+        slot = jax.lax.rem(t, 2)
+        for j in range(G):
+            rd_x(j, b, rt, slot).wait()
+        if prev_dd:
+            rd_gxp(b, rt, slot).wait()
+
+        t0 = (t_min + rt) * tt
+        rows = jax.lax.broadcasted_iota(jnp.int32, (tt, 1), 0) + t0
+
+        @pl.when(is_first)
+        def _():
+            for ref in dw_refs:
+                ref[:] = jnp.zeros_like(ref)
+
+        xin_scr[:, 2 * n_res :] = cond_ref[0]
+        gcond_acc = gcond_ref[0]
+        cur_nxt = prev_nxt = None  # cotangent parts from the layer above
+        for j in range(G - 1, -1, -1):
+            valid = rows >= valid_los[j]
+            dd = dds[j]
+            dp = dd_pads[j]
+            xin_scr[:, :n_res] = x_scrs[j][slot, dp - dd : dp - dd + tt, :]
+            xin_scr[:, n_res : 2 * n_res] = x_scrs[j][slot, dp:, :]
+            xin = jnp.where(valid, xin_scr[:], 0).astype(jnp.bfloat16)
+            y = jnp.where(valid, y_refs[j][0].astype(jnp.float32), 0.0)
+            tf = jnp.tanh(y[:, :n_dil])
+            sg = jax.nn.sigmoid(y[:, n_dil:])
+            h = (tf * sg).astype(jnp.bfloat16)
+
+            if j == G - 1:
+                gxn = jnp.where(rows >= cur_valid_lo,
+                                gxc_ref[0].astype(jnp.float32), 0.0)
+                if prev_dd:
+                    gp_hi = gxp_scr[slot, prev_dd : prev_dd + tt, :]
+                    gxn = gxn + jnp.where(rows + prev_dd < p_len,
+                                          gp_hi.astype(jnp.float32), 0.0)
+            else:
+                gxn = cur_nxt + prev_nxt
+            gxn = jnp.where(valid, gxn, 0.0)
+            gsk = jnp.where(valid, gsk_ref[0].astype(jnp.float32), 0.0)
+            g_out = jnp.concatenate([gxn, gsk], axis=-1).astype(jnp.bfloat16)
+            g_h = jnp.dot(g_out, wo_refs[j][:].T,
+                          preferred_element_type=jnp.float32)
+            g_f = g_h * sg * (1.0 - tf * tf)
+            g_g = g_h * tf * sg * (1.0 - sg)
+            g_y = jnp.concatenate([g_f, g_g], axis=-1).astype(jnp.bfloat16)
+            g_xin = jnp.dot(g_y, wi_refs[j][:].T,
+                            preferred_element_type=jnp.float32)
+
+            dwi, dbi, dwo, dbo = dw_refs[4 * j : 4 * j + 4]
+            dwi[:] += jnp.dot(xin.T, g_y, preferred_element_type=jnp.float32)
+            dbi[:] += jnp.sum(g_y.astype(jnp.float32), 0, keepdims=True)
+            dwo[:] += jnp.dot(h.T, g_out, preferred_element_type=jnp.float32)
+            dbo[:] += jnp.sum(g_out.astype(jnp.float32), 0, keepdims=True)
+            gcond_acc = gcond_acc + g_xin[:, 2 * n_res :]
+
+            if j > 0:
+                # assemble layer j-1's upstream in VMEM: identity+cur at
+                # row q plus this layer's prev-tap term produced at q+dd
+                # (fresh below the tile top, persistent head above it)
+                off = head_offs[j - 1]
+                cur_nxt = gxn + g_xin[:, n_res : 2 * n_res]
+                prev_nxt = jnp.concatenate(
+                    [g_xin[dd:, :n_res],
+                     head_scr[off : off + dd].astype(jnp.float32)], axis=0)
+                prev_nxt = jnp.where(rows + dd < p_len, prev_nxt, 0.0)
+                head_scr[off : off + dd] = g_xin[:dd, :n_res].astype(
+                    jnp.float32)
+            else:
+                gxc_out_ref[0] = (gxn + g_xin[:, n_res : 2 * n_res]
+                                  ).astype(jnp.bfloat16)
+                gxp_out_ref[0] = g_xin[:, :n_res].astype(jnp.bfloat16)
+        gcond_out_ref[0] = gcond_acc
+
+    def spec(c, off=0):
+        return pl.BlockSpec(
+            (1, tt, c),
+            lambda b, t, _o=off: (b, _o + t_min + (nt - 1 - t), 0),
+            memory_space=pltpu.VMEM)
+
+    def wspec(shape):
+        return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    vw = pl.BlockSpec(memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    dw_specs, dw_shapes = [], []
+    for _ in range(G):
+        dw_specs += [wspec((xin_w, 2 * n_dil)), wspec((1, 2 * n_dil)),
+                     wspec((n_dil, n_res + n_skp)), wspec((1, n_res + n_skp))]
+        dw_shapes += [
+            jax.ShapeDtypeStruct((xin_w, 2 * n_dil), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2 * n_dil), jnp.float32),
+            jax.ShapeDtypeStruct((n_dil, n_res + n_skp), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_res + n_skp), jnp.float32),
+        ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bsz, nt),
+        in_specs=(
+            [any_spec] * G + [any_spec]
+            + [spec(n_cond_pad), spec(n_res, off=lpad_blk), spec(n_skp),
+               spec(n_cond_pad)]
+            + [vw] * (2 * G)
+            + [spec(2 * n_dil)] * G
+        ),
+        out_specs=[
+            spec(n_res, off=lpad_blk),               # gxcur'
+            spec(n_res, off=lpad_blk),               # gxprev'
+            spec(n_cond_pad),                        # gcond'
+        ] + dw_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, lp, n_res), jnp.bfloat16),
+            jax.ShapeDtypeStruct((bsz, lp + rpad, n_res), jnp.bfloat16),
+            jax.ShapeDtypeStruct(gcond.shape, jnp.float32),
+        ] + dw_shapes,
+        input_output_aliases={G + 4: 2},             # gcond in -> out
+        scratch_shapes=(
+            [pltpu.VMEM((2, tt + dd_pads[j], n_res), jnp.bfloat16)
+             for j in range(G)]
+            + [pltpu.VMEM((2, tt + pdd_pad, n_res), jnp.bfloat16),
+               pltpu.VMEM((tt, xin_w), jnp.bfloat16),
+               pltpu.VMEM((n_head, n_res), jnp.float32),
+               pltpu.SemaphoreType.DMA((2, G + 1))]
+        ),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=110 * 2**20,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(*xs_g, gxprev, cond, gxcur, gskip, gcond,
+      *w_ins, *w_outs, *ys_g)
+    return outs
+
+
 @functools.lru_cache(maxsize=64)
 def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
                 interpret: bool, save_y: bool = True,
                 fuse_pairs: bool = False, bwd_tile: int | None = None,
-                full_fusion: bool = False):
+                full_fusion: bool = False, bwd_group: int = 0):
     """custom_vjp'd fused stack: (x0, cond_buf, packed_weights) -> skip_buf.
 
     Forward runs the fused layers; backward runs :func:`gated_layer_bwd` in
@@ -1188,18 +1416,30 @@ def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
         gxprev = jnp.zeros((bsz, lp + rpad, n_res), jnp.bfloat16)
         gcond = jnp.zeros((bsz, p_len, ncp), jnp.float32)
         dpacked = [None] * len(dils)
-        # segmentation must mirror run_fwd's greedy pairing; a pair segment
-        # additionally requires save_y (the pair bwd has no recompute path)
-        # and dd2 < tt_bwd (the persistent head must fit one tile back)
+        # segmentation is independent of the forward's fusion schedule (the
+        # saved xs/ys cover every layer); fused segments require save_y
+        # (no recompute path) and every inner dd < tt_bwd (the persistent
+        # heads must fit one tile back)
         segs, i = [], 0
-        while i < len(dils):
-            if (fuse_pairs and i + 1 < len(dils) and 0 < dils[i + 1] < tt
-                    and save_y and dils[i + 1] < tt_bwd):
-                segs.append((i, i + 1))
-                i += 2
-            else:
-                segs.append((i,))
-                i += 1
+        if bwd_group >= 3 and save_y:
+            # grouped backward: up to bwd_group consecutive layers per
+            # kernel (gated_group_bwd)
+            while i < len(dils):
+                j = i
+                while (j + 1 < len(dils) and (j - i + 1) < bwd_group
+                       and 0 < dils[j + 1] < tt_bwd):
+                    j += 1
+                segs.append(tuple(range(i, j + 1)))
+                i = j + 1
+        else:
+            while i < len(dils):
+                if (fuse_pairs and i + 1 < len(dils) and 0 < dils[i + 1] < tt
+                        and save_y and dils[i + 1] < tt_bwd):
+                    segs.append((i, i + 1))
+                    i += 2
+                else:
+                    segs.append((i,))
+                    i += 1
 
         def qb(dwi, dbi, dwo, dbo):
             # weight cotangents stay FLOAT32 (matching the f32 packed
@@ -1216,6 +1456,21 @@ def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
             cur_valid_lo = (p_len - layer_geo(j + 1)[0]
                             if j + 1 < len(dils) else p_len)
             ty, t_min = layer_geo(i, tt_bwd)
+            if len(seg) >= 3:
+                outs = gated_group_bwd(
+                    tuple(xs[i : j + 1]), cond_buf, gxcur, gxprev, gskip,
+                    gcond, tuple(packed[i : j + 1]), tuple(ys[i : j + 1]),
+                    dds=tuple(dils[i : j + 1]), prev_dd=prev_dd,
+                    t_min=t_min,
+                    valid_los=tuple(p_len - layer_geo(k)[0]
+                                    for k in range(i, j + 1)),
+                    cur_valid_lo=cur_valid_lo, tile=tt_bwd,
+                    interpret=interpret,
+                )
+                gxcur, gxprev, gcond = outs[0], outs[1], outs[2]
+                for k in range(len(seg)):
+                    dpacked[i + k] = qb(*outs[3 + 4 * k : 3 + 4 * k + 4])
+                continue
             if len(seg) == 2:
                 (gxcur, gxprev, gcond, dwi1, dbi1, dwo1, dbo1,
                  dwi2, dbi2, dwo2, dbo2) = gated_pair_bwd(

@@ -89,6 +89,10 @@ class WaveNetConfig:
                                   # skips the xin@w_in recompute GEMM
     gated_fuse_pairs: bool = True  # fuse consecutive layer pairs into one
                                    # kernel (persistent VMEM mid-stream)
+    gated_bwd_group: int = 0      # >=3: grouped backward — that many
+                                  # consecutive layers per bwd kernel with
+                                  # the cotangent streams VMEM-resident
+                                  # across the group (0/2 = pair schedule)
     gated_full_fusion: bool = False  # whole-stack single-kernel forward
                                      # (all inter-layer streams in VMEM,
                                      # skip accumulated once); overrides

@@ -358,3 +358,33 @@ def test_full_fusion_no_save_y_recompute_bwd():
     np.testing.assert_allclose(np.asarray(ref, np.float32),
                                np.asarray(got, np.float32),
                                rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("group", [3, 4, 8])
+def test_grouped_bwd_grads_match_xla(group):
+    """Grouped backward (gated_group_bwd, G consecutive layers per kernel,
+    cotangent streams VMEM-resident across the group) vs XLA grads."""
+    params, x_ids, cond, spk = _inputs(170)
+    probe = jax.random.normal(jax.random.PRNGKey(9),
+                              (x_ids.shape[0], CFG.n_quant, 170)) * 0.1
+
+    def loss_xla(p, c):
+        out = wavenet.apply(p, CFG, x_ids, c, spk, dtype=jnp.bfloat16)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    def loss_grp(p, c):
+        out = gp.stack_apply(p, CFG, x_ids, c, spk, tile=64, interpret=True,
+                             full_fusion=True, bwd_group=group)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    gx = jax.grad(loss_xla, argnums=(0, 1))(params, cond)
+    gg = jax.grad(loss_grp, argnums=(0, 1))(params, cond)
+
+    def flat(t):
+        return np.concatenate(
+            [np.asarray(v, np.float32).ravel() for v in jax.tree.leaves(t)])
+
+    fx, fg = flat(gx), flat(gg)
+    assert np.isfinite(fg).all()
+    scale = np.abs(fx).max() + 1e-9
+    assert np.abs(fg - fx).max() / scale < 0.05, np.abs(fg - fx).max() / scale
