@@ -59,6 +59,18 @@ def main() -> int:
         cfg = dataclasses.replace(
             cfg, wavenet=dataclasses.replace(cfg.wavenet,
                                              use_pallas_stack=True))
+    # measurement-harness overrides for the kernel-schedule A/Bs (the knobs
+    # themselves are config fields; these envs only configure THIS bench)
+    if os.environ.get("BENCH_FULL_FUSION"):
+        cfg = dataclasses.replace(
+            cfg, wavenet=dataclasses.replace(
+                cfg.wavenet,
+                gated_full_fusion=os.environ["BENCH_FULL_FUSION"] == "1"))
+    if os.environ.get("BENCH_BWD_GROUP"):
+        cfg = dataclasses.replace(
+            cfg, wavenet=dataclasses.replace(
+                cfg.wavenet,
+                gated_bwd_group=int(os.environ["BENCH_BWD_GROUP"])))
     spec = ae.make_window_spec(cfg)
 
     with tempfile.TemporaryDirectory() as td:
