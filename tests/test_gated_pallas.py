@@ -388,3 +388,14 @@ def test_grouped_bwd_grads_match_xla(group):
     assert np.isfinite(fg).all()
     scale = np.abs(fx).max() + 1e-9
     assert np.abs(fg - fx).max() / scale < 0.05, np.abs(fg - fx).max() / scale
+
+
+def test_full_fusion_single_tile_and_bwd_group_combo():
+    """Edge shapes: one tile per layer (nt==1) and full fusion composed
+    with the grouped backward."""
+    params, x_ids, cond, spk = _inputs(40)
+    ref = wavenet.apply(params, CFG, x_ids, cond, spk, dtype=jnp.bfloat16)
+    got = gp.stack_apply(params, CFG, x_ids, cond, spk, tile=128,
+                         interpret=True, full_fusion=True, bwd_group=4)
+    d = np.abs(np.asarray(ref, np.float32) - np.asarray(got, np.float32))
+    assert d.max() < 0.05, d.max()
