@@ -113,21 +113,26 @@ def main() -> int:
         # reported, the headline metric is the e2e one.
         e2e_sps = None
         if os.environ.get("BENCH_E2E", "1") == "1":
-            import io
+            try:
+                import io
 
-            from ae_wavenet_tpu.training.chassis import Chassis
+                from ae_wavenet_tpu.training.chassis import Chassis
 
-            k = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
-            cfg_e2e = dataclasses.replace(
-                cfg, train=dataclasses.replace(cfg.train, steps_per_call=k,
-                                               log_every=iters))
-            ch = Chassis(cfg_e2e, prefix, log_stream=io.StringIO())
-            ch.train(2 * k)  # warmup: compile both programs, fill buffers
-            t0 = time.perf_counter()
-            hist = ch.train(iters - iters % k)
-            dt_e2e = time.perf_counter() - t0
-            e2e_sps = batch_sz * n_win * (iters - iters % k) / dt_e2e
-            del hist
+                k = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
+                cfg_e2e = dataclasses.replace(
+                    cfg, train=dataclasses.replace(cfg.train,
+                                                   steps_per_call=k,
+                                                   log_every=iters))
+                ch = Chassis(cfg_e2e, prefix, log_stream=io.StringIO())
+                ch.train(2 * k)  # warmup: compile, fill loader buffers
+                t0 = time.perf_counter()
+                hist = ch.train(iters - iters % k)
+                dt_e2e = time.perf_counter() - t0
+                e2e_sps = batch_sz * n_win * (iters - iters % k) / dt_e2e
+                del hist
+            except Exception as e:  # never lose the bench line to the
+                print(f"e2e segment failed: {e!r}", file=sys.stderr)
+                e2e_sps = None      # e2e extra; fall back to compute-only
 
     n_chips = max(len(jax.devices()), 1)
     compute_value = samples_per_sec / n_chips
