@@ -340,7 +340,10 @@ class Chassis:
             wav, spk = sampler.batch_at(stream_offset + self.step + i)
             m = self._eval_fn(self.params, self.bn_state, put(wav), put(spk),
                               jnp.int32(self.step))
-            for k, v in m.items():
+            # ONE D2H transfer for the whole dict: per-item float(v) costs a
+            # synchronous device roundtrip PER METRIC (~1 RTT each — dominant
+            # on high-latency links; measured 2026-08-17, BASELINE.md e2e)
+            for k, v in jax.device_get(m).items():
                 totals[k] = totals.get(k, 0.0) + float(v) / n_batches
         totals["split"] = "holdout" if self.eval_sampler is not None else "train"
         return totals
@@ -428,7 +431,10 @@ class Chassis:
                     self.logger.log(self.step, {"profile_trace": self.profile_dir})
                 if crossed(t_cfg.log_every, s, self.step) \
                         or self.step == start + n_steps:
-                    fetched = {k: float(v) for k, v in metrics.items()}
+                    # one transfer for all metrics (see evaluate(): per-item
+                    # float() pays one sync roundtrip per metric)
+                    fetched = {k: float(v)
+                               for k, v in jax.device_get(metrics).items()}
                     if self.nan_checks:
                         if not all(np.isfinite(v) for v in fetched.values()):
                             raise FloatingPointError(
