@@ -125,10 +125,11 @@ def main() -> int:
                                                    log_every=iters))
                 ch = Chassis(cfg_e2e, prefix, log_stream=io.StringIO())
                 ch.train(2 * k)  # warmup: compile, fill loader buffers
+                n_e2e = max(3 * k, iters - iters % k)  # >=3 dispatch blocks
                 t0 = time.perf_counter()
-                hist = ch.train(iters - iters % k)
+                hist = ch.train(n_e2e)
                 dt_e2e = time.perf_counter() - t0
-                e2e_sps = batch_sz * n_win * (iters - iters % k) / dt_e2e
+                e2e_sps = batch_sz * n_win * n_e2e / dt_e2e
                 del hist
             except Exception as e:  # never lose the bench line to the
                 print(f"e2e segment failed: {e!r}", file=sys.stderr)
