@@ -207,15 +207,10 @@ def mfcc_delta_stack_np(wav: np.ndarray, cfg: SpecConfig) -> np.ndarray:
     """Numpy twin of :func:`mfcc_delta_stack` (same matrices, same trims).
 
     Used for host-side work with per-clip dynamic shapes (dataset-level
-    statistics at preprocess time) where jit would recompile per length."""
-    t = wav.shape[-1]
-    f = (t - cfg.win_sz) // cfg.hop_sz + 1
-    idx = np.arange(f)[:, None] * cfg.hop_sz + np.arange(cfg.win_sz)[None, :]
-    frames = wav[..., idx] * np.hanning(cfg.win_sz + 1)[:-1].astype(np.float32)
-    cosm, sinm = _dft_matrices(cfg.win_sz, cfg.n_fft)
-    power = (frames @ cosm) ** 2 + (frames @ sinm) ** 2
-    mel = power @ mel_filterbank(cfg).T
-    logmel = np.log(np.maximum(mel, 1e-10))
+    statistics at preprocess time) where jit would recompile per length.
+    Framing/window/DFT/mel are single-sourced in :func:`log_mel_frames_np`
+    (the quality metric's representation IS this frontend minus the DCT)."""
+    logmel = np.swapaxes(log_mel_frames_np(wav, cfg), -1, -2)  # [..., F, M]
     mf = np.swapaxes(logmel @ dct_matrix(cfg.n_mfcc, cfg.n_mels).T, -1, -2)
     w = cfg.delta_wing
     k = delta_kernel(w)

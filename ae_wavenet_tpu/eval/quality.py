@@ -23,7 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ae_wavenet_tpu.audio.mfcc import SpecConfig, log_mel_frames_np
-from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_decode, mu_encode
+from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_decode
+from ae_wavenet_tpu.models import common
 from ae_wavenet_tpu.models import wavenet as wn
 from ae_wavenet_tpu.ops import fastgen
 from ae_wavenet_tpu.utils.config import RunConfig
@@ -71,27 +72,19 @@ def free_running_report(
         from ae_wavenet_tpu.models import autoencoder as ae
         encode_fn = ae.encode
 
-    rng_e, rng_g = jax.random.split(jax.random.PRNGKey(0) if rng is None
-                                    else rng)
-    cond, c_off = encode_fn(params, bn_state, cfg, wav_i16, rng_e)
+    # encode/prime/alignment lattice is single-sourced in
+    # models/common.prime_for_generation (shared with reconstruct())
+    prep = common.prime_for_generation(
+        encode_fn, params, bn_state, cfg, wav_i16, spk,
+        jax.random.PRNGKey(0) if rng is None else rng, n_samples)
     wcfg = cfg.wavenet
-    rf = wn.receptive_field(wcfg)
-    tc = int(cond.shape[-1])
-    if tc <= rf + 1:
-        raise ValueError(f"utterance too short: {tc} cond frames <= rf+1")
-    n = tc - rf - 1 if n_samples is None else min(n_samples, tc - rf - 1)
-
-    ids = mu_encode(int16_to_float(wav_i16), wcfg.n_quant)
-    ctx = ids[..., c_off : c_off + rf + 1]
-    state = fastgen.init_state(wcfg, wav_i16.shape[0])
-    state = fastgen.prime(params["wavenet"], wcfg, state, ctx, cond, spk)
-    gen_cond = cond[..., rf : rf + n]
+    rf, n, ids, cond = prep.rf, prep.n, prep.ids, prep.cond
     gen_ids, _, logits = fastgen.generate(
-        params["wavenet"], wcfg, state, gen_cond, rng_g, gc_ids=spk,
-        temperature=1.0, return_logits=True,
+        params["wavenet"], wcfg, prep.state, prep.gen_cond, prep.rng_g,
+        gc_ids=spk, temperature=1.0, return_logits=True,
     )
 
-    start = c_off + rf + 1
+    start = prep.start
     truth = ids[..., start : start + n]                    # [B, n]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
     free_nll = float(jnp.mean(

@@ -103,23 +103,45 @@ def make_window_spec(cfg: RunConfig, chain: Chain, n_win: int | None,
     )
 
 
-def reconstruct(encode_fn, params: dict, bn_state: dict, cfg: RunConfig,
-                wav_i16: jax.Array, spk: jax.Array, rng: jax.Array,
-                temperature: float = 1.0, n_samples: int | None = None,
-                quantized: bool = False):
-    """Shared generation driver: encode a whole utterance with
+@dataclasses.dataclass(frozen=True)
+class GenPrep:
+    """Primed generation state + the alignment lattice, shared by every
+    free-running driver (reconstruct, eval/quality NLL).  The offsets live
+    HERE only: generation runs ``n`` steps over ``gen_cond`` and the output
+    aligns with the input mu-law ``ids[..., start : start + n]``."""
+
+    state: object                   # fastgen queue state, primed on context
+    cond: jax.Array                 # full conditioning [B, C, tc]
+    rng_g: jax.Array
+    ids: jax.Array                  # mu-law ids of the full input [B, U']
+    c_off: int                      # cond frame 0 = input sample c_off
+    rf: int
+    n: int
+
+    @property
+    def gen_cond(self) -> jax.Array:
+        return self.cond[..., self.rf : self.rf + self.n]
+
+    @property
+    def start(self) -> int:
+        return self.c_off + self.rf + 1
+
+
+def prime_for_generation(encode_fn, params: dict, bn_state: dict,
+                         cfg: RunConfig, wav_i16: jax.Array, spk: jax.Array,
+                         rng: jax.Array,
+                         n_samples: int | None = None) -> GenPrep:
+    """Shared free-running prologue: encode a whole utterance with
     ``encode_fn(params, bn_state, cfg, wav_i16, rng) -> (cond, c_off)``,
-    prime the fast queues on real left context, and sample autoregressively.
-    Returns (mu-law ids [B, n], start) where the output corresponds to input
-    positions [start, start + n)."""
+    mu-law-encode the ground truth, and prime the fast queues on real left
+    context (the alignment-sensitive part — keep single-sourced)."""
     from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_encode
     from ae_wavenet_tpu.ops import fastgen
-    from ae_wavenet_tpu.ops.fastgen_pallas import generate_auto
 
     rng_e, rng_g = jax.random.split(rng)
     cond, c_off = encode_fn(params, bn_state, cfg, wav_i16, rng_e)
     rf = wavenet.receptive_field(cfg.wavenet)
-    tc = cond.shape[-1]
+    tc = int(cond.shape[-1])
     if tc <= rf + 1:
         raise ValueError(f"utterance too short: {tc} cond frames <= rf+1")
     n = tc - rf - 1 if n_samples is None else min(n_samples, tc - rf - 1)
@@ -127,11 +149,27 @@ def reconstruct(encode_fn, params: dict, bn_state: dict, cfg: RunConfig,
     ctx = ids[..., c_off : c_off + rf + 1]
     state = fastgen.init_state(cfg.wavenet, wav_i16.shape[0])
     state = fastgen.prime(params["wavenet"], cfg.wavenet, state, ctx, cond, spk)
+    return GenPrep(state=state, cond=cond, rng_g=rng_g, ids=ids,
+                   c_off=c_off, rf=rf, n=n)
+
+
+def reconstruct(encode_fn, params: dict, bn_state: dict, cfg: RunConfig,
+                wav_i16: jax.Array, spk: jax.Array, rng: jax.Array,
+                temperature: float = 1.0, n_samples: int | None = None,
+                quantized: bool = False):
+    """Shared generation driver: :func:`prime_for_generation`, then sample
+    autoregressively with the fused cell.  Returns (mu-law ids [B, n],
+    start) where the output corresponds to input positions
+    [start, start + n)."""
+    from ae_wavenet_tpu.ops.fastgen_pallas import generate_auto
+
+    prep = prime_for_generation(encode_fn, params, bn_state, cfg, wav_i16,
+                                spk, rng, n_samples)
     out, _ = generate_auto(
-        params["wavenet"], cfg.wavenet, state, cond[..., rf : rf + n],
-        rng_g, gc_ids=spk, temperature=temperature, quantized=quantized,
+        params["wavenet"], cfg.wavenet, prep.state, prep.gen_cond,
+        prep.rng_g, gc_ids=spk, temperature=temperature, quantized=quantized,
     )
-    return out, c_off + rf + 1
+    return out, prep.start
 
 
 def normalize_frames(frames: jax.Array, n_ref: int | None = None,

@@ -1316,6 +1316,21 @@ def gated_group_bwd(xs_g, cond, gxcur, gxprev, gskip, gcond, pks, ys_g, *,
     return outs
 
 
+def _full_fusion_ok(dils: tuple, tt: int) -> bool:
+    # the whole-stack kernel keeps every inter-layer stream in VMEM across
+    # one tile, so every inner dilation span must fit within a tile
+    return len(dils) >= 2 and all(0 < d < tt for d in dils[1:])
+
+
+def full_fusion_applies(cfg: WaveNetConfig, tile: int | None = None) -> bool:
+    """True iff the whole-stack fused forward structurally applies at this
+    tile (benches/tools should check this before labeling an A/B: the
+    schedule knobs are best-effort and fall back silently otherwise)."""
+    tt = tile or cfg.gated_tile
+    dils = tuple(d * (cfg.filter_sz - 1) for d in cfg.dilations)
+    return _full_fusion_ok(dils, tt)
+
+
 @functools.lru_cache(maxsize=64)
 def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
                 interpret: bool, save_y: bool = True,
@@ -1332,6 +1347,18 @@ def _stack_core(dils: tuple, t_in: int, n_skp: int, tile: int,
     recompute GEMM — 28% of backward FLOPs for ~2 KB/row/layer of extra HBM
     traffic (measured head-to-head in BASELINE.md)."""
     tt = tile
+    # requested-but-inapplicable knobs fall back to the next schedule down;
+    # say so once (lru_cache: one warning per distinct core) instead of
+    # silently measuring/labeling the wrong schedule
+    import warnings
+    if full_fusion and not _full_fusion_ok(dils, tt):
+        warnings.warn(
+            f"gated_full_fusion does not apply (inner dilation >= tile "
+            f"{tt}); using the pair/per-layer schedule", stacklevel=2)
+    if bwd_group >= 3 and not save_y:
+        warnings.warn(
+            "gated_bwd_group requires gated_save_y=True; using the "
+            "pair/per-layer backward", stacklevel=2)
     p_len = _round_up(t_in, tt)
     rpad = _round_up(512, tt)
     # measured on v5e (BASELINE.md): bwd tile = fwd tile is best (1.321M

@@ -83,8 +83,14 @@ def main():
     t_pal = timeit(pallas_fwd, a.iters, params, x_ids, cond, spk)
     t_full = timeit(full_fwd, a.iters, params, x_ids, cond, spk)
     samples = a.batch * a.n_win
+    ff_applies = gp.full_fusion_applies(cfg, a.tile)
+    if not ff_applies:
+        print(f"WARNING: full fusion does not apply at tile {a.tile} — the "
+              f"'full_fusion_*' numbers below are the pair-path fallback",
+              file=sys.stderr)
     print(json.dumps({
         "config": f"b{a.batch} x {a.n_win}, tile {a.tile}",
+        "full_fusion_applied": ff_applies,
         "xla_fwd_ms": round(t_xla * 1e3, 2),
         "pallas_fwd_ms": round(t_pal * 1e3, 2),
         "full_fusion_fwd_ms": round(t_full * 1e3, 2),

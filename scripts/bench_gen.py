@@ -94,7 +94,7 @@ def main() -> int:
             "path": "pallas_fused" + ("_int8" if quantized else ""),
             "batch": batch,
             "gen_steps": t_gen,
-            "vmem_dil_max": cfg.wavenet.fastgen_vmem_dil_max,
+            "vmem_dil_max": cfg.fastgen_vmem_dil_max,
             "wall_s": round(dt, 3),
             "samples_per_sec_per_stream": round(sps, 1),
             "rtf_16k": round(sps / 16000.0, 3),
