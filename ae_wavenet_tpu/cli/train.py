@@ -73,7 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     new.add_argument("--model", choices=["autoencoder", "mfcc_inverter"],
                      default="autoencoder")
-    new.add_argument("--bottleneck", choices=["ae", "vae", "vq"], default=None)
+    new.add_argument("--bottleneck", choices=["ae", "vae", "vq", "zero"], default=None)
     # architecture overrides (subset mirroring the reference's flag names)
     new.add_argument("--n-quant", type=int, default=None)
     new.add_argument("--n-res", type=int, default=None)
@@ -93,6 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="commitment loss weight")
     new.add_argument("--vq-restart-thresh", type=float, default=None,
                      help="EMA-count floor for dead-code restarts (0 = off)")
+    new.add_argument("--vq-warmup-steps", type=int, default=None,
+                     help="linear commitment-weight ramp 0 -> vq-beta over "
+                          "this many steps (0 = constant)")
     new.add_argument("--vq-use-pallas", action="store_true", default=None,
                      help="use the fused Pallas VQ kernel (ops/vq_pallas.py); "
                           "default off — measured at parity with XLA at "
@@ -114,6 +117,10 @@ def build_parser() -> argparse.ArgumentParser:
     new.add_argument("--lr-values", type=_float_tuple, default=None,
                      help="comma list of LRs, len = len(boundaries)+1")
     new.add_argument("--weight-decay", type=float, default=None)
+    new.add_argument("--aux-frame-weight", type=float, default=None,
+                     help="latent->MFCC-frame auxiliary loss weight; keeps "
+                          "the VQ codebook alive early in training "
+                          "(scripts/diag_vq.py; 0 = off)")
     new.add_argument("--grad-clip", type=float, default=None)
     new.add_argument("--holdout-every", type=int, default=None,
                      help="every k-th clip is held out for evaluate()")
@@ -193,7 +200,8 @@ def config_from_args(a) -> config_mod.RunConfig:
               jitter_p=a.jitter_p, free_nats=a.free_nats,
               kl_anneal_steps=a.kl_anneal_steps, ema_decay=a.ema_decay,
               vq_beta=a.vq_beta, vq_restart_thresh=a.vq_restart_thresh,
-              vq_use_pallas=a.vq_use_pallas)
+              vq_use_pallas=a.vq_use_pallas,
+              vq_warmup_steps=a.vq_warmup_steps)
     if a.bn_dim is not None:
         enc = dataclasses.replace(enc, n_out=a.bn_dim)
         wn = dataclasses.replace(wn, n_lc_in=a.bn_dim)
@@ -209,7 +217,8 @@ def config_from_args(a) -> config_mod.RunConfig:
     tr = over(tr, batch_sz=a.batch_sz, n_win=a.n_win,
               learning_rate=a.learning_rate, grad_clip=a.grad_clip,
               weight_decay=a.weight_decay, holdout_every=a.holdout_every,
-              seed=a.seed, compute_dtype=a.compute_dtype)
+              seed=a.seed, compute_dtype=a.compute_dtype,
+              aux_frame_weight=a.aux_frame_weight)
     if a.model == "mfcc_inverter":
         # upsampling must invert hop_sz alone (no encoder downsample)
         wn = dataclasses.replace(

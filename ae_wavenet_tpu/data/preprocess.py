@@ -122,7 +122,17 @@ def make_synthetic_dataset(
     genuinely carries information (a purely stationary tone is predictable
     from AR context alone, which makes any bottleneck collapse optimal and
     useless as a test fixture).  Hermetic stand-in for the 10-clip
-    LibriSpeech fixture of BASELINE config 1."""
+    LibriSpeech fixture of BASELINE config 1.
+
+    Within every segment, pitch / per-harmonic amplitude / noise envelope
+    follow random walks with fresh innovations at ~50 Hz (the latent frame
+    rate), smoothly interpolated to sample rate.  This mirrors prosody in
+    real speech: the drift is unpredictable from past audio at EVERY sample,
+    but the non-causal encoder sees it, so conditioning lowers teacher-forced
+    CE everywhere — not just at the handful of segment boundaries.  Without
+    this (round-3 finding, docs/long_run_r3.jsonl), segments are exactly
+    AR-predictable except at onsets, conditioning is worth ~4% of samples,
+    and VQ posterior collapse (perplexity -> 1) is near-optimal."""
     rng = np.random.default_rng(seed)
     clips = []
     offset = 0
@@ -133,26 +143,39 @@ def make_synthetic_dataset(
             x = np.zeros(n)
             pos = 0
             f0_base = 90.0 + 30.0 * spk
+            hop = sample_rate // 50  # innovation rate ~= latent frame rate
+
+            def walk(seg: int, sigma: float) -> np.ndarray:
+                """exp(random walk) at 50 Hz, interpolated to sample rate;
+                starts at 1.0 so segment-level scales stay meaningful."""
+                nfr = seg // hop + 2
+                w = np.cumsum(rng.normal(0.0, sigma, size=nfr))
+                w -= w[0]
+                return np.exp(np.interp(np.arange(seg) / hop,
+                                        np.arange(nfr), w))
+
             while pos < n:
                 seg = int(rng.integers(sample_rate // 10, sample_rate // 4))
                 seg = min(seg, n - pos)
-                t = np.arange(seg) / sample_rate
                 kind = rng.random()
-                if kind < 0.45:  # voiced: harmonics at a random f0
+                if kind < 0.45:  # voiced: harmonics, drifting f0 + AM
                     f0 = f0_base * rng.uniform(0.7, 2.2)
                     ph = rng.uniform(0, 2 * np.pi)
-                    amps = rng.uniform(0.1, 1.0, size=4) / np.arange(1, 5)
-                    s = sum(a * np.sin(2 * np.pi * f0 * k * t + ph * k)
-                            for k, a in zip(range(1, 5), amps))
+                    # integrate the instantaneous (drifting) f0 to a phase
+                    phase = 2.0 * np.pi * np.cumsum(f0 * walk(seg, 0.035)) / sample_rate
+                    s = np.zeros(seg)
+                    for k in range(1, 5):
+                        a_k = (rng.uniform(0.1, 1.0) / k) * walk(seg, 0.12)
+                        s += a_k * np.sin(k * phase + ph * k)
                     s *= rng.uniform(0.3, 1.0)
-                elif kind < 0.8:  # unvoiced: band-passed noise burst
+                elif kind < 0.8:  # unvoiced: band-passed noise burst, AM
                     w = rng.normal(size=seg)
                     fc = rng.uniform(500, 6000)
                     bw = rng.uniform(300, 1500)
                     spec = np.fft.rfft(w)
                     f = np.fft.rfftfreq(seg, 1 / sample_rate)
                     spec *= np.exp(-0.5 * ((f - fc) / bw) ** 2)
-                    s = np.fft.irfft(spec, seg)
+                    s = np.fft.irfft(spec, seg) * walk(seg, 0.18)
                     s *= rng.uniform(0.2, 0.7) / (np.std(s) + 1e-9)
                 else:  # silence-ish
                     s = 0.01 * rng.normal(size=seg)

@@ -52,14 +52,38 @@ def make_window_spec(cfg: RunConfig, n_win: int | None = None) -> WindowSpec:
     return _make_window_spec(cfg, cond_chain(cfg), n_win, "autoencoder")
 
 
+def frame_align(cfg: RunConfig) -> tuple[int, int]:
+    """Latent position t <-> encoder-input frame index c0 + s*t (receptive-
+    field center of the encoder geometry).  Static config-time ints."""
+    ch = encoder.geometry(cfg.encoder)
+    r0, r1 = ch.in_range(Range(0, 1)), ch.in_range(Range(1, 2))
+    c0 = (r0.b + r0.e - 1) // 2
+    return c0, max((r1.b + r1.e - 1) // 2 - c0, 1)
+
+
 def init(key: jax.Array, cfg: RunConfig):
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     params = {
         "encoder": encoder.init(k1, cfg.encoder),
         "wavenet": wavenet.init(k2, cfg.wavenet),
     }
     bn_params, bn_state = bottlenecks.init(k3, cfg.bottleneck)
     params["bottleneck"] = bn_params
+    if cfg.train.aux_frame_weight > 0:
+        # linear head zq -> normalized MFCC frame at the aligned position.
+        # Guarantees the latents carry frame information from step 0: the
+        # collapse measured in scripts/diag_vq.py happens because early in
+        # training the decoder treats (not-yet-informative) conditioning as
+        # input noise and the recon gradient drives z to a constant; this
+        # head keeps information pressure on z until the decoder learns to
+        # consume it (Chorowski's latents-should-encode-phonetics goal,
+        # SURVEY.md §0, expressed as an explicit objective).
+        n_ch = 3 * cfg.spec.n_mfcc
+        d = cfg.bottleneck.n_dim
+        params["aux_frame"] = {
+            "w": jax.random.normal(k4, (n_ch, d), jnp.float32) / jnp.sqrt(d),
+            "b": jnp.zeros((n_ch,), jnp.float32),
+        }
     return params, bn_state
 
 
@@ -94,6 +118,19 @@ def forward(
         params["bottleneck"], bn_state, cfg.bottleneck, z, rng_j, step, train,
         axis_name=axis_name,
     )
+
+    if cfg.train.aux_frame_weight > 0:
+        c0, s = frame_align(cfg)
+        tz = zq.shape[-1]
+        tgt = jax.lax.stop_gradient(frames[..., c0 : c0 + s * tz : s])
+        head = params["aux_frame"]
+        pred = (
+            jnp.einsum("bdt,cd->bct", zq.astype(jnp.float32), head["w"])
+            + head["b"][None, :, None]
+        )
+        mse = jnp.mean(jnp.square(pred - tgt.astype(jnp.float32)))
+        aux = {**aux, "aux_frame_mse": mse,
+               "aux_frame_loss": cfg.train.aux_frame_weight * mse}
 
     # --- upsample to wav rate, decoder
     cond = wavenet.upsample_apply(
@@ -172,6 +209,6 @@ def loss_fn(
         params, bn_state, cfg, spec, wav_i16, spk, rng, step, train, axis_name
     )
     recon = mu_ce(logits, targets, btq=btq_layout(cfg))
-    total = recon + aux.get("bn_loss", 0.0)
+    total = recon + aux.get("bn_loss", 0.0) + aux.get("aux_frame_loss", 0.0)
     metrics = {"loss": total, "recon_ce": recon, **aux}
     return total, (new_bn_state, metrics)

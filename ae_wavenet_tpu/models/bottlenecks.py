@@ -33,7 +33,7 @@ from ae_wavenet_tpu.utils.config import BottleneckConfig
 
 
 def init(key: jax.Array, cfg: BottleneckConfig):
-    if cfg.kind == "ae":
+    if cfg.kind in ("ae", "zero"):
         return {}, {}
     if cfg.kind == "vae":
         k1, k2 = jax.random.split(key)
@@ -107,7 +107,8 @@ def _jitter(zq, rng, p):
     return jnp.where(u > 1.0 - p / 2, right, out)
 
 
-def _apply_vq(state, cfg: BottleneckConfig, z, rng, train, axis_name=None):
+def _apply_vq(state, cfg: BottleneckConfig, z, rng, step, train,
+              axis_name=None):
     # z: [B, D, T] -> flatten to [N, D].  Under shard_map DP (axis_name set)
     # z is the LOCAL shard; EMA statistics are psum'd to the global batch.
     b, d, t = z.shape
@@ -186,8 +187,13 @@ def _apply_vq(state, cfg: BottleneckConfig, z, rng, train, axis_name=None):
 
     avg = counts / jnp.maximum(jnp.sum(counts), 1.0)
     perplexity = jnp.exp(-jnp.sum(avg * jnp.log(jnp.maximum(avg, 1e-10))))
+    if cfg.vq_warmup_steps > 0:
+        # commitment warmup: see BottleneckConfig.vq_warmup_steps
+        w = jnp.minimum(step.astype(jnp.float32) / cfg.vq_warmup_steps, 1.0)
+    else:
+        w = jnp.float32(1.0)
     aux = {
-        "bn_loss": cfg.vq_beta * commitment,
+        "bn_loss": w * cfg.vq_beta * commitment,
         "commitment": commitment,
         "perplexity": perplexity,
         # codebook health: dead codes re-seeded THIS step (0 when restarts
@@ -206,12 +212,18 @@ def apply(params, state, cfg: BottleneckConfig, z, rng, step, train: bool,
     inserts the psum from the sharded-batch contraction automatically)."""
     if cfg.kind == "ae":
         zq, new_state, aux = _apply_ae(z)
+    elif cfg.kind == "zero":
+        # conditioning ablation: the decoder sees all-zero local conditioning
+        # (and still its speaker embedding); recon CE under 'zero' is the
+        # pure-AR baseline that 'ae'/'vq'/'vae' runs are compared against
+        zq, new_state, aux = jnp.zeros_like(z), {}, {"bn_loss": jnp.float32(0.0)}
     elif cfg.kind == "vae":
         if axis_name is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
         zq, new_state, aux = _apply_vae(params, cfg, z, rng, step, train)
     elif cfg.kind == "vq":
-        zq, new_state, aux = _apply_vq(state, cfg, z, rng, train, axis_name)
+        zq, new_state, aux = _apply_vq(state, cfg, z, rng, step, train,
+                                       axis_name)
     else:
         raise ValueError(f"unknown bottleneck kind {cfg.kind!r}")
     return zq, new_state, aux

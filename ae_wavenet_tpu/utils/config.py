@@ -35,7 +35,10 @@ class BottleneckConfig:
     """Pluggable bottleneck: plain AE / VAE / VQ-VAE-EMA (reference
     bottleneck modules [SURVEY.md §2.1])."""
 
-    kind: str = "ae"          # 'ae' | 'vae' | 'vq'
+    kind: str = "ae"          # 'ae' | 'vae' | 'vq' | 'zero'
+                              # 'zero' disables conditioning (zq = 0): the
+                              # decoder-only ablation baseline that measures
+                              # how much the bottleneck actually buys
     n_dim: int = 64
     # --- vq ---
     vq_k: int = 512           # codebook size
@@ -50,6 +53,16 @@ class BottleneckConfig:
     vq_restart_thresh: float = 0.2  # EMA-count floor below which a dead code
                                     # is re-seeded from a random batch vector
                                     # (0 disables dead-code restarts)
+    vq_warmup_steps: int = 0  # linear commitment-weight ramp 0 -> vq_beta
+                              # over this many steps (0 = constant vq_beta).
+                              # Measured (scripts/diag_vq.py, 2026-08-17):
+                              # does NOT prevent the early usage collapse —
+                              # the collapse driver is the recon gradient
+                              # suppressing a not-yet-informative cond path
+                              # through the STE, not commitment pressure —
+                              # and on the tiny config the ramp *delays*
+                              # codebook usage (ppl 2.5 vs 22 at step 300),
+                              # so it stays off by default
     # --- vae ---
     free_nats: float = 0.0    # per-dim KL floor (free bits)
     kl_anneal_steps: int = 0  # linear KL-weight ramp; 0 = constant 1.0
@@ -121,6 +134,13 @@ class TrainConfig:
     adam_eps: float = 1e-8
     weight_decay: float = 0.0
     grad_clip: float = 0.0    # 0 = off
+    aux_frame_weight: float = 0.0  # weight of the latent->MFCC-frame linear
+                                   # prediction loss (0 = off).  Keeps
+                                   # information pressure on the bottleneck
+                                   # while the decoder is still learning to
+                                   # consume conditioning — the measured
+                                   # antidote to early VQ usage collapse
+                                   # (scripts/diag_vq.py, docs/STATUS.md)
     seed: int = 0
     n_steps: int = 100000
     ckpt_every: int = 1000
@@ -185,8 +205,14 @@ def from_json(s: str) -> RunConfig:
 
 
 def vq_config(**overrides) -> RunConfig:
-    """BASELINE config 2: VQ-VAE bottleneck, EMA codebook + STE + jitter."""
+    """BASELINE config 2: VQ-VAE bottleneck, EMA codebook + STE + jitter.
+
+    Ships with the latent->MFCC auxiliary loss on: without it the usage
+    collapse measured in scripts/diag_vq.py (perplexity -> 1 by step ~400
+    at flagship scale) makes the codebook useless."""
     cfg = RunConfig(bottleneck=BottleneckConfig(kind="vq"))
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, aux_frame_weight=1.0))
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 
@@ -206,7 +232,7 @@ def chorowski_config(**overrides) -> RunConfig:
     cfg = RunConfig(
         bottleneck=BottleneckConfig(kind="vq"),
         wavenet=WaveNetConfig(n_speakers=256),
-        train=TrainConfig(batch_sz=16, n_win=1600),
+        train=TrainConfig(batch_sz=16, n_win=1600, aux_frame_weight=1.0),
     )
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 

@@ -51,7 +51,9 @@ def main() -> int:
 
     cfg = RunConfig(
         bottleneck=BottleneckConfig(kind="vq"),
-        train=TrainConfig(batch_sz=batch_sz, n_win=n_win),
+        # aux frame head ships with the flagship VQ recipe (codebook health)
+        train=TrainConfig(batch_sz=batch_sz, n_win=n_win,
+                          aux_frame_weight=1.0),
     )
     if os.environ.get("BENCH_PALLAS_STACK", "1") == "1":
         # fused Pallas gated-conv stack (ops/gated_pallas.py): measured

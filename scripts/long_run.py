@@ -41,6 +41,9 @@ def main() -> int:
     ap.add_argument("--out", default="docs/long_run_r3.jsonl")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--quality-samples", type=int, default=16000)
+    ap.add_argument("--aux-weight", type=float, default=1.0,
+                    help="latent->MFCC aux loss weight (keeps the VQ "
+                         "codebook alive; measured in scripts/diag_vq.py)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny CPU-runnable smoke of the whole driver "
                          "(plumbing check before burning TPU time)")
@@ -76,7 +79,8 @@ def main() -> int:
             train=dataclasses.replace(
                 cfg.train, n_steps=a.steps, log_every=a.log_every,
                 ckpt_every=a.ckpt_every, holdout_every=5,
-                steps_per_call=a.steps_per_call),
+                steps_per_call=a.steps_per_call,
+                aux_frame_weight=a.aux_weight),
         )
     else:
         cfg = RunConfig(
@@ -86,6 +90,7 @@ def main() -> int:
                 batch_sz=a.batch_sz, n_win=a.n_win, n_steps=a.steps,
                 log_every=a.log_every, ckpt_every=a.ckpt_every,
                 holdout_every=5, steps_per_call=a.steps_per_call,
+                aux_frame_weight=a.aux_weight,
             ),
         )
     ckpt_dir = os.path.join(a.workdir, "ckpt")

@@ -50,6 +50,40 @@ def test_vq_trains(data_prefix):
     assert np.isfinite(ev["recon_ce"]) and ev["recon_ce"] < 6.0
 
 
+def test_aux_frame_loss_trains(data_prefix):
+    """aux_frame_weight>0: the latent->MFCC head exists, its MSE is logged
+    and decreases, and the latent alignment slice is in bounds."""
+    from ae_wavenet_tpu.models import autoencoder, encoder
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        bottleneck=BottleneckConfig(kind="vq", n_dim=16, vq_k=64, jitter_p=0.0),
+        train=dataclasses.replace(cfg.train, batch_sz=8, n_steps=80,
+                                  log_every=20, learning_rate=4e-4,
+                                  aux_frame_weight=1.0),
+    )
+    # static alignment: latent t maps to frame c0 + s*t, inside the window
+    c0, s = autoencoder.frame_align(cfg)
+    spec = autoencoder.make_window_spec(cfg)
+    tz = encoder.geometry(cfg.encoder).out_len(spec.n_frames)
+    assert c0 >= 0 and s >= 1 and c0 + s * (tz - 1) < spec.n_frames
+
+    ch, hist = _train(cfg, data_prefix, 80)
+    assert "aux_frame" in ch.params
+    # the weighted MSE is part of the total loss, and is logged
+    for h in hist:
+        assert np.isfinite(h["aux_frame_mse"])
+        assert h["loss"] == pytest.approx(
+            h["recon_ce"] + h["bn_loss"] + h["aux_frame_loss"], rel=1e-5
+        )
+        assert h["aux_frame_loss"] == pytest.approx(
+            cfg.train.aux_frame_weight * h["aux_frame_mse"], rel=1e-5
+        )
+    # the head received gradients (bias inits to zero; training moved it)
+    assert np.abs(np.asarray(ch.params["aux_frame"]["b"])).max() > 1e-6
+
+
 def test_vae_trains_with_annealing(data_prefix):
     cfg = tiny_config()
     cfg = dataclasses.replace(

@@ -156,6 +156,53 @@ def test_vq_jitter_moves_codes():
     np.testing.assert_array_equal(np.asarray(st_e["codebook"]), np.asarray(state["codebook"]))
 
 
+def test_vq_commitment_warmup():
+    """bn_loss ramps 0 -> vq_beta * commitment over vq_warmup_steps; the
+    raw commitment diagnostic stays unweighted."""
+    cfg = BottleneckConfig(kind="vq", n_dim=4, vq_k=8, jitter_p=0.0,
+                           vq_warmup_steps=100)
+    _, state = bottlenecks.init(jax.random.PRNGKey(0), cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 6))
+
+    def bn_loss_at(step):
+        _, _, aux = bottlenecks.apply(
+            {}, state, cfg, z, jax.random.PRNGKey(2), jnp.int32(step), True
+        )
+        return float(aux["bn_loss"]), float(aux["commitment"])
+
+    l0, c0 = bn_loss_at(0)
+    l50, c50 = bn_loss_at(50)
+    l100, c100 = bn_loss_at(100)
+    assert c0 == c50 == c100 > 0.0
+    assert l0 == 0.0
+    assert l50 == pytest.approx(0.5 * cfg.vq_beta * c0, rel=1e-5)
+    assert l100 == pytest.approx(cfg.vq_beta * c0, rel=1e-5)
+    cfg_now = dataclasses.replace(cfg, vq_warmup_steps=0)
+    _, _, aux = bottlenecks.apply(
+        {}, state, cfg_now, z, jax.random.PRNGKey(2), jnp.int32(0), True
+    )
+    assert float(aux["bn_loss"]) == pytest.approx(cfg.vq_beta * c0, rel=1e-5)
+
+
+def test_zero_bottleneck_disables_conditioning():
+    """kind='zero' is the pure-AR ablation: zq == 0 regardless of z, no
+    params/state, zero bottleneck loss."""
+    cfg = BottleneckConfig(kind="zero", n_dim=4)
+    params, state = bottlenecks.init(jax.random.PRNGKey(0), cfg)
+    assert params == {} and state == {}
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 6))
+    zq, st, aux = bottlenecks.apply(
+        params, state, cfg, z, jax.random.PRNGKey(2), jnp.int32(0), True
+    )
+    assert float(jnp.abs(zq).max()) == 0.0 and zq.shape == z.shape
+    assert float(aux["bn_loss"]) == 0.0 and st == {}
+    # and gradients through it vanish (conditioning path truly severed)
+    g = jax.grad(lambda z: jnp.sum(bottlenecks.apply(
+        params, state, cfg, z, jax.random.PRNGKey(2), jnp.int32(0), True
+    )[0] ** 2))(z)
+    assert float(jnp.abs(g).max()) == 0.0
+
+
 # ---------------------------------------------------------------------- VAE
 
 def test_vae_kl_and_annealing():

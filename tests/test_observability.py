@@ -109,6 +109,8 @@ def test_cli_flag_round_trip():
         "--vq-beta", "0.5",
         "--vq-restart-thresh", "0.1",
         "--vq-use-pallas",
+        "--vq-warmup-steps", "250",
+        "--aux-frame-weight", "0.5",
         "--weight-decay", "0.01",
         "--n-lc-out", "96",
         "--n-global-embed", "24",
@@ -127,6 +129,8 @@ def test_cli_flag_round_trip():
     assert cfg.bottleneck.vq_beta == 0.5
     assert cfg.bottleneck.vq_restart_thresh == 0.1
     assert cfg.bottleneck.vq_use_pallas is True
+    assert cfg.bottleneck.vq_warmup_steps == 250
+    assert cfg.train.aux_frame_weight == 0.5
     assert cfg.wavenet.n_lc_out == 96
     assert cfg.wavenet.n_global_embed == 24
     assert cfg.wavenet.lc_upsample_strides == (8, 5, 4, 2)
