@@ -33,7 +33,8 @@ def main():
     base = RunConfig(
         bottleneck=BottleneckConfig(kind="vq"),
         train=TrainConfig(batch_sz=8, n_win=8000, n_steps=a.steps,
-                          log_every=1, learning_rate=4e-4),
+                          log_every=1, learning_rate=4e-4,
+                          aux_frame_weight=1.0),
     )
     spec = ae.make_window_spec(base)
     with tempfile.TemporaryDirectory() as td:
