@@ -155,18 +155,70 @@ def _wavenet(p: dict, cfg, x_ids, cond, spk):
     return _mm(p, "wavenet.post2", h)
 
 
-def loss(p: dict, cfg: RunConfig, spec, wav_i16: np.ndarray,
-         spk: np.ndarray) -> torch.Tensor:
-    """One teacher-forcing CE on a raw int16 window batch (mirror of
-    models/autoencoder.loss_fn with the plain-AE bottleneck)."""
-    assert cfg.bottleneck.kind == "ae", "mirror covers the plain-AE config"
+def _vq_apply(bn: dict, cfg_bn, z: torch.Tensor, step: int):
+    """Deterministic mirror of models/bottlenecks._apply_vq: MXU-style
+    distance contraction, EMA codebook update with Laplace smoothing,
+    straight-through estimator, commitment warmup.  Jitter and dead-code
+    restarts draw JAX RNG (not reproducible from torch) and must be off."""
+    assert cfg_bn.jitter_p == 0.0 and cfg_bn.vq_restart_thresh == 0.0, \
+        "mirror covers the deterministic VQ config (jitter/restarts off)"
+    b, d, t = z.shape
+    zf = z.permute(0, 2, 1).reshape(b * t, d)
+    e = bn["codebook"]
+    d2 = (zf.square().sum(1, keepdim=True) - 2.0 * (zf @ e.T)
+          + e.square().sum(1)[None, :])
+    idx = d2.argmin(1)
+    onehot = F.one_hot(idx, e.shape[0]).float()
+    q = onehot @ e
+    counts = onehot.sum(0)
+    sums = onehot.T @ zf.detach()
+    dec = cfg_bn.ema_decay
+    nc = dec * bn["ema_counts"] + (1.0 - dec) * counts
+    ns = dec * bn["ema_sums"] + (1.0 - dec) * sums
+    n = nc.sum()
+    smoothed = (nc + cfg_bn.ema_eps) / (n + e.shape[0] * cfg_bn.ema_eps) * n
+    new_state = {"codebook": (ns / smoothed[:, None]).detach(),
+                 "ema_counts": nc.detach(), "ema_sums": ns.detach()}
+    commitment = (zf - q.detach()).square().sum(1).mean()
+    w = (min(step / cfg_bn.vq_warmup_steps, 1.0)
+         if cfg_bn.vq_warmup_steps > 0 else 1.0)
+    zq = zf + (q - zf).detach()
+    zq = zq.reshape(b, t, d).permute(0, 2, 1)
+    return zq, new_state, w * cfg_bn.vq_beta * commitment
+
+
+def step_loss(p: dict, cfg: RunConfig, spec, wav_i16: np.ndarray,
+              spk: np.ndarray, bn_state: dict | None = None, step: int = 0):
+    """One teacher-forcing step (mirror of models/autoencoder.loss_fn for
+    the 'ae' and deterministic 'vq' configs, incl. the latent->MFCC
+    auxiliary head).  Returns (total, recon_ce, new_bn_state)."""
+    assert cfg.bottleneck.kind in ("ae", "vq"), "mirror covers ae/vq"
     wav = torch.from_numpy(np.asarray(wav_i16)).float() * (1.0 / 32768.0)
     spk = torch.from_numpy(np.asarray(spk)).long()
 
     frames = _normalize(_mfcc_stack(wav[..., spec.fb : spec.fe], cfg.spec))
     z = _encoder(p, cfg, frames)
 
-    cond = z
+    extra = z.new_zeros(())
+    new_bn_state = bn_state
+    if cfg.bottleneck.kind == "vq":
+        zq, new_bn_state, bn_loss = _vq_apply(bn_state, cfg.bottleneck, z, step)
+        extra = extra + bn_loss
+    else:
+        zq = z
+    if cfg.train.aux_frame_weight > 0:
+        # aligned-frame prediction head; the (c0, stride) alignment is a
+        # config-derived geometry constant (data, not model code)
+        from ae_wavenet_tpu.models.autoencoder import frame_align
+
+        c0, s = frame_align(cfg)
+        tz = zq.shape[-1]
+        tgt = frames[..., c0 : c0 + s * tz : s].detach()
+        pred = torch.einsum("bdt,cd->bct", zq, p["aux_frame.w"]) \
+            + p["aux_frame.b"][None, :, None]
+        extra = extra + cfg.train.aux_frame_weight * (pred - tgt).square().mean()
+
+    cond = zq
     for i, st in enumerate(spec.up_steps):
         cond = F.relu(_tconv(p, f"wavenet.upsample.{i}", cond,
                              cfg.wavenet.lc_upsample_strides[i]))
@@ -176,13 +228,27 @@ def loss(p: dict, cfg: RunConfig, spec, wav_i16: np.ndarray,
     x_ids = ids[..., spec.w0 : spec.w0 + spec.t_in]
     logits = _wavenet(p, cfg, x_ids, cond, spk)
     targets = ids[..., spec.tgt_b : spec.tgt_b + spec.n_win]
-    return F.cross_entropy(logits, targets)
+    ce = F.cross_entropy(logits, targets)
+    return ce + extra, ce, new_bn_state
+
+
+def loss(p: dict, cfg: RunConfig, spec, wav_i16: np.ndarray,
+         spk: np.ndarray) -> torch.Tensor:
+    """One teacher-forcing CE on a raw int16 window batch (plain-AE)."""
+    assert cfg.bottleneck.kind == "ae", "use step_loss for vq"
+    _, ce, _ = step_loss(p, cfg, spec, wav_i16, spk)
+    return ce
 
 
 def train_curve(cfg: RunConfig, spec, params, sampler, n_steps: int,
-                start_step: int = 0) -> list:
-    """Adam-train the mirror on sampler batches; returns per-step CE."""
+                start_step: int = 0, bn_state: dict | None = None,
+                return_state: bool = False):
+    """Adam-train the mirror on sampler batches; returns per-step recon CE
+    (and, with return_state, the final EMA bottleneck state)."""
     p = params_to_torch(params)
+    if bn_state is not None:
+        bn_state = {k: torch.from_numpy(np.asarray(v, dtype=np.float32).copy())
+                    for k, v in bn_state.items()}
     t = cfg.train
     opt = torch.optim.Adam(p.values(), lr=t.learning_rate,
                            betas=(t.adam_b1, t.adam_b2), eps=t.adam_eps)
@@ -190,8 +256,8 @@ def train_curve(cfg: RunConfig, spec, params, sampler, n_steps: int,
     for s in range(start_step, start_step + n_steps):
         wav, spk = sampler.batch_at(s)
         opt.zero_grad(set_to_none=True)
-        ce = loss(p, cfg, spec, wav, spk)
-        ce.backward()
+        total, ce, bn_state = step_loss(p, cfg, spec, wav, spk, bn_state, s)
+        total.backward()
         opt.step()
         ces.append(float(ce.detach()))
-    return ces
+    return (ces, bn_state) if return_state else ces

@@ -53,6 +53,68 @@ def test_single_loss_bit_close(data_prefix):
     assert abs(float(metrics["recon_ce"]) - float(ce_t.detach())) < 1e-4
 
 
+def _vq_parity_config():
+    """Deterministic VQ twin config: jitter/restarts off (they draw JAX RNG
+    the torch mirror cannot reproduce); EMA + STE + commitment warmup + the
+    latent->MFCC aux head all active."""
+    from ae_wavenet_tpu.utils.config import BottleneckConfig
+
+    cfg = tiny_config()
+    return dc.replace(
+        cfg,
+        bottleneck=BottleneckConfig(kind="vq", n_dim=16, vq_k=64,
+                                    jitter_p=0.0, vq_restart_thresh=0.0,
+                                    vq_warmup_steps=50),
+        train=dc.replace(cfg.train, n_steps=STEPS, log_every=1,
+                         learning_rate=1e-3, aux_frame_weight=1.0),
+    )
+
+
+def test_vq_single_loss_bit_close(data_prefix):
+    cfg = _vq_parity_config()
+    spec = ae.make_window_spec(cfg)
+    ds = PackedDataset(data_prefix)
+    sampler = WindowSampler(ds, spec.u_len, cfg.train.batch_sz, cfg.train.seed)
+    params, bn_state = ae.init(jax.random.PRNGKey(cfg.train.seed + 1), cfg)
+    wav, spk = sampler.batch_at(0)
+    import jax.numpy as jnp
+    total_j, (_, metrics) = ae.loss_fn(
+        params, bn_state, cfg, spec, jnp.asarray(wav), jnp.asarray(spk),
+        jax.random.PRNGKey(9), jnp.int32(0),
+    )
+    import torch
+    bn_t = {k: torch.from_numpy(np.asarray(v).copy()) for k, v in bn_state.items()}
+    total_t, ce_t, _ = tm.step_loss(tm.params_to_torch(params), cfg, spec,
+                                    wav, spk, bn_t, step=0)
+    assert abs(float(metrics["recon_ce"]) - float(ce_t.detach())) < 1e-4
+    assert abs(float(total_j) - float(total_t.detach())) < 1e-3
+
+
+def test_vq_training_curves_match(data_prefix):
+    """EMA + STE + warmup + aux-head training parity: the recon-CE curves and
+    the final EMA codebook must agree between JAX and the torch mirror."""
+    cfg = _vq_parity_config()
+    ch = Chassis(cfg, data_prefix, log_stream=io.StringIO())
+    init_params = jax.tree.map(lambda x: np.array(x), ch.params)
+    init_bn = jax.tree.map(lambda x: np.array(x), ch.bn_state)
+    hist = ch.train(STEPS)
+    jax_ce = [h["recon_ce"] for h in hist]
+
+    ds = PackedDataset(data_prefix)
+    sampler = WindowSampler(ds, ch.spec.u_len, cfg.train.batch_sz,
+                            cfg.train.seed)
+    torch_ce, bn_t = tm.train_curve(cfg, ch.spec, init_params, sampler,
+                                    STEPS, bn_state=init_bn,
+                                    return_state=True)
+
+    diffs = [abs(a - b) for a, b in zip(jax_ce, torch_ce)]
+    assert max(diffs) < 0.02, diffs
+    np.testing.assert_allclose(
+        np.asarray(ch.bn_state["codebook"]),
+        np.asarray(bn_t["codebook"]), rtol=1e-3, atol=1e-4,
+    )
+
+
 def test_training_curves_match(data_prefix):
     cfg = tiny_config()
     cfg = dc.replace(cfg, train=dc.replace(cfg.train, n_steps=STEPS,
