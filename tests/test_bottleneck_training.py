@@ -84,6 +84,20 @@ def test_aux_frame_loss_trains(data_prefix):
     assert np.abs(np.asarray(ch.params["aux_frame"]["b"])).max() > 1e-6
 
 
+def test_zero_bottleneck_chassis_trains(data_prefix):
+    """kind='zero' (conditioning-ablation baseline) runs end-to-end through
+    the chassis: the pure-AR decoder still learns (recon CE decreases)."""
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        bottleneck=BottleneckConfig(kind="zero", n_dim=16),
+        train=dataclasses.replace(cfg.train, n_steps=40, log_every=10),
+    )
+    ch, hist = _train(cfg, data_prefix, 40)
+    assert hist[-1]["recon_ce"] < hist[0]["recon_ce"]
+    assert all(h["bn_loss"] == 0.0 for h in hist)
+
+
 def test_vae_trains_with_annealing(data_prefix):
     cfg = tiny_config()
     cfg = dataclasses.replace(
