@@ -52,6 +52,13 @@ def make_window_spec(cfg: RunConfig, n_win: int | None = None) -> WindowSpec:
     return _make_window_spec(cfg, cond_chain(cfg), n_win, "autoencoder")
 
 
+def aux_frame_active(cfg: RunConfig) -> bool:
+    """The latent->MFCC aux head applies when weighted AND conditioning
+    exists — under the 'zero' ablation there is no latent information to
+    pressure, so the head is skipped (no params, no loss term)."""
+    return cfg.train.aux_frame_weight > 0 and cfg.bottleneck.kind != "zero"
+
+
 def frame_align(cfg: RunConfig) -> tuple[int, int]:
     """Latent position t <-> encoder-input frame index c0 + s*t (receptive-
     field center of the encoder geometry).  Static config-time ints."""
@@ -69,7 +76,7 @@ def init(key: jax.Array, cfg: RunConfig):
     }
     bn_params, bn_state = bottlenecks.init(k3, cfg.bottleneck)
     params["bottleneck"] = bn_params
-    if cfg.train.aux_frame_weight > 0:
+    if aux_frame_active(cfg):
         # linear head zq -> normalized MFCC frame at the aligned position.
         # Guarantees the latents carry frame information from step 0: the
         # collapse measured in scripts/diag_vq.py happens because early in
@@ -119,13 +126,17 @@ def forward(
         axis_name=axis_name,
     )
 
-    if cfg.train.aux_frame_weight > 0:
+    # pre-jitter latents: jitter regularizes the DECODER's conditioning; aux
+    # targets must stay aligned (post-jitter targets are ~jitter_p label
+    # noise in exactly the loss that keeps the codebook alive)
+    zq_clean = aux.pop("zq_pre_jitter", zq)
+    if aux_frame_active(cfg):
         c0, s = frame_align(cfg)
-        tz = zq.shape[-1]
+        tz = zq_clean.shape[-1]
         tgt = jax.lax.stop_gradient(frames[..., c0 : c0 + s * tz : s])
         head = params["aux_frame"]
         pred = (
-            jnp.einsum("bdt,cd->bct", zq.astype(jnp.float32), head["w"])
+            jnp.einsum("bdt,cd->bct", zq_clean.astype(jnp.float32), head["w"])
             + head["b"][None, :, None]
         )
         mse = jnp.mean(jnp.square(pred - tgt.astype(jnp.float32)))

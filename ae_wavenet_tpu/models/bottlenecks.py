@@ -182,6 +182,7 @@ def _apply_vq(state, cfg: BottleneckConfig, z, rng, step, train,
     # straight-through: gradient flows to z, value is q
     zq = zf + jax.lax.stop_gradient(q - zf)
     zq = jnp.transpose(jnp.reshape(zq, (b, t, d)), (0, 2, 1))
+    zq_pre_jitter = zq
     if train and cfg.jitter_p > 0.0:
         zq = _jitter(zq, rng, cfg.jitter_p)
 
@@ -199,6 +200,10 @@ def _apply_vq(state, cfg: BottleneckConfig, z, rng, step, train,
         # codebook health: dead codes re-seeded THIS step (0 when restarts
         # are disabled or in eval mode) — trended in long runs
         "restarts": n_restarts if train else jnp.float32(0.0),
+        # pre-jitter quantized latents for the aux frame head: jitter is a
+        # decoder-side regularizer; aux targets at jittered positions would
+        # be systematic label noise (popped from aux before metrics logging)
+        "zq_pre_jitter": zq_pre_jitter,
     }
     return zq, new_state, aux
 

@@ -260,17 +260,39 @@ class Chassis:
             if self.mesh is not None
             else jax.device_put
         )
-        def merge(ref, new):
+        def merge(ref, new, what):
             # restored containers may differ (tuple->list etc.); rebuild into
-            # the reference structure by leaf order
+            # the reference structure by leaf order.  Guard the rebuild: a
+            # leaf-count mismatch means the runtime config builds a DIFFERENT
+            # model than the checkpoint's (e.g. aux_frame_weight flipped
+            # on/off since the save) — positional unflatten would either
+            # throw an opaque error or, worse, silently misassign weights.
+            ref_leaves = jax.tree.leaves(ref)
+            new_leaves = jax.tree.leaves(new)
+            if len(ref_leaves) != len(new_leaves):
+                raise ValueError(
+                    f"checkpoint {what} tree has {len(new_leaves)} leaves but "
+                    f"the current config builds {len(ref_leaves)} — the "
+                    f"model architecture changed since the save; resume "
+                    f"with the checkpoint's embedded config (CLI `resume` "
+                    f"does this) or match the flags (aux_frame_weight, "
+                    f"bottleneck kind, model dims) to the original run"
+                )
+            for rl, nl in zip(ref_leaves, new_leaves):
+                if tuple(rl.shape) != tuple(np.shape(nl)):
+                    raise ValueError(
+                        f"checkpoint {what} leaf shape {np.shape(nl)} != "
+                        f"model's {tuple(rl.shape)} — architecture drift "
+                        f"since the save"
+                    )
             return jax.tree.unflatten(
                 jax.tree.structure(ref),
-                [put(jnp.asarray(x)) for x in jax.tree.leaves(new)],
+                [put(jnp.asarray(x)) for x in new_leaves],
             )
 
-        self.params = merge(self.params, tree["params"])
-        self.opt_state = merge(self.opt_state, tree["opt_state"])
-        self.bn_state = merge(self.bn_state, tree["bn_state"])
+        self.params = merge(self.params, tree["params"], "params")
+        self.opt_state = merge(self.opt_state, tree["opt_state"], "opt_state")
+        self.bn_state = merge(self.bn_state, tree["bn_state"], "bn_state")
         self.step = step
         return step
 

@@ -93,14 +93,15 @@ def main() -> int:
     ap.add_argument("--vq-warmup", type=int, default=0)
     a = ap.parse_args()
 
-    from ae_wavenet_tpu.data.preprocess import make_synthetic_dataset
+    from ae_wavenet_tpu.data.preprocess import (make_synthetic_dataset,
+                                                synthetic_fixture_current)
     from ae_wavenet_tpu.training.chassis import Chassis
     from ae_wavenet_tpu.utils.config import (BottleneckConfig, RunConfig,
                                              TrainConfig, WaveNetConfig)
 
     os.makedirs(a.workdir, exist_ok=True)
     prefix = os.path.join(a.workdir, "synth32")
-    if not os.path.exists(prefix + ".json"):
+    if not synthetic_fixture_current(prefix):
         make_synthetic_dataset(prefix, n_clips=32, n_speakers=8,
                                clip_len=(120_000, 240_000), seed=11)
 

@@ -58,7 +58,8 @@ def main() -> int:
     prefix = a.data
     if prefix is None:
         prefix = os.path.join(a.workdir, "synth32")
-        if not os.path.exists(prefix + ".json"):
+        from ae_wavenet_tpu.data.preprocess import synthetic_fixture_current
+        if not synthetic_fixture_current(prefix):
             # maximize fixture realism: many speakers, long clips (verdict
             # weak #5) — still synthetic, see module docstring
             if a.tiny:

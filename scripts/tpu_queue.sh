@@ -19,12 +19,15 @@ wait_tpu() {
 
 run() { # name timeout cmd...
   local name=$1 tmo=$2 rc; shift 2
+  : > "/tmp/q_${name}.log"
   for attempt in 1 2; do
     note "=== $name attempt $attempt ==="
-    timeout "$tmo" "$@" > "/tmp/q_${name}.log" 2>&1
+    echo "--- attempt $attempt" >> "/tmp/q_${name}.log"
+    timeout "$tmo" "$@" >> "/tmp/q_${name}.log" 2>&1
     rc=$?
     note "exit=$rc $name"
     [ $rc -eq 0 ] && return 0
+    [ $attempt -eq 2 ] && break   # no third attempt: don't wait for nothing
     wait_tpu || return 1
   done
   return $rc

@@ -84,6 +84,63 @@ def test_aux_frame_loss_trains(data_prefix):
     assert np.abs(np.asarray(ch.params["aux_frame"]["b"])).max() > 1e-6
 
 
+def test_aux_head_uses_prejitter_latents(data_prefix):
+    """The aux target alignment must not inherit temporal jitter: with
+    identical params/batch/rng, aux_frame_mse is bit-identical whether
+    jitter is on or off (jitter only perturbs the decoder's conditioning),
+    while the jittered conditioning does change the reconstruction CE."""
+    import jax
+    import jax.numpy as jnp
+
+    from ae_wavenet_tpu.data.dataset import PackedDataset, WindowSampler
+    from ae_wavenet_tpu.models import autoencoder as ae_mod
+
+    def metrics_at(jp):
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            bottleneck=BottleneckConfig(kind="vq", n_dim=16, vq_k=64,
+                                        jitter_p=jp),
+            train=dataclasses.replace(cfg.train, batch_sz=4,
+                                      aux_frame_weight=1.0),
+        )
+        spec = ae_mod.make_window_spec(cfg)
+        params, bn_state = ae_mod.init(jax.random.PRNGKey(3), cfg)
+        ds = PackedDataset(data_prefix)
+        wav, spk = WindowSampler(ds, spec.u_len, 4, seed=0).batch_at(0)
+        _, (_, m) = ae_mod.loss_fn(params, bn_state, cfg, spec,
+                                   jnp.asarray(wav), jnp.asarray(spk),
+                                   jax.random.PRNGKey(7), jnp.int32(0))
+        return m
+
+    m0, m1 = metrics_at(0.0), metrics_at(1.0)
+    assert float(m0["aux_frame_mse"]) == float(m1["aux_frame_mse"])
+    assert float(m0["recon_ce"]) != float(m1["recon_ce"])
+
+
+def test_resume_rejects_architecture_drift(data_prefix, tmp_path):
+    """A checkpoint saved with the aux head cannot be silently restored into
+    a model built without it (and vice versa): resume raises with a clear
+    message instead of a positional-unflatten crash/misassignment."""
+    cfg = tiny_config()
+    cfg_aux = dataclasses.replace(
+        cfg,
+        bottleneck=BottleneckConfig(kind="vq", n_dim=16, vq_k=32),
+        train=dataclasses.replace(cfg.train, aux_frame_weight=1.0,
+                                  ckpt_every=0),
+    )
+    ch = Chassis(cfg_aux, data_prefix, ckpt_dir=str(tmp_path / "ck"),
+                 log_stream=io.StringIO())
+    ch.save()
+    cfg_noaux = dataclasses.replace(
+        cfg_aux, train=dataclasses.replace(cfg_aux.train,
+                                           aux_frame_weight=0.0))
+    ch2 = Chassis(cfg_noaux, data_prefix, ckpt_dir=str(tmp_path / "ck"),
+                  log_stream=io.StringIO())
+    with pytest.raises(ValueError, match="architecture changed"):
+        ch2.resume()
+
+
 def test_zero_bottleneck_chassis_trains(data_prefix):
     """kind='zero' (conditioning-ablation baseline) runs end-to-end through
     the chassis: the pure-AR decoder still learns (recon CE decreases)."""
