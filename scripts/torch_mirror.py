@@ -240,6 +240,24 @@ def loss(p: dict, cfg: RunConfig, spec, wav_i16: np.ndarray,
     return ce
 
 
+def inverter_loss(p: dict, cfg: RunConfig, spec, wav_i16: np.ndarray,
+                  spk: np.ndarray) -> torch.Tensor:
+    """Mirror of models/mfcc_inverter.loss_fn (vocoder baseline: the WaveNet
+    conditioned directly on normalized MFCC, no encoder/bottleneck)."""
+    wav = torch.from_numpy(np.asarray(wav_i16)).float() * (1.0 / 32768.0)
+    spk = torch.from_numpy(np.asarray(spk)).long()
+    cond = _normalize(_mfcc_stack(wav[..., spec.fb : spec.fe], cfg.spec))
+    for i, st in enumerate(spec.up_steps):
+        cond = F.relu(_tconv(p, f"wavenet.upsample.{i}", cond,
+                             cfg.wavenet.lc_upsample_strides[i]))
+        cond = cond[..., st.trim_l : st.trim_l + st.keep]
+    ids = _mu_encode(wav, cfg.wavenet.n_quant)
+    x_ids = ids[..., spec.w0 : spec.w0 + spec.t_in]
+    logits = _wavenet(p, cfg, x_ids, cond, spk)
+    targets = ids[..., spec.tgt_b : spec.tgt_b + spec.n_win]
+    return F.cross_entropy(logits, targets)
+
+
 def train_curve(cfg: RunConfig, spec, params, sampler, n_steps: int,
                 start_step: int = 0, bn_state: dict | None = None,
                 return_state: bool = False):

@@ -115,6 +115,32 @@ def test_vq_training_curves_match(data_prefix):
     )
 
 
+def test_inverter_single_loss_bit_close(data_prefix):
+    """MFCC-inverter (vocoder baseline) teacher-forcing CE matches the
+    torch mirror at identical init."""
+    from ae_wavenet_tpu.models import mfcc_inverter as mi
+
+    cfg = tiny_config()
+    cfg = dc.replace(
+        cfg,
+        model_kind="mfcc_inverter",
+        wavenet=dc.replace(cfg.wavenet, lc_upsample_strides=(5, 4, 4, 2),
+                           lc_upsample_filters=(10, 8, 8, 4)),
+    )
+    spec = mi.make_window_spec(cfg)
+    ds = PackedDataset(data_prefix)
+    sampler = WindowSampler(ds, spec.u_len, cfg.train.batch_sz, cfg.train.seed)
+    params, bn_state = mi.init(jax.random.PRNGKey(cfg.train.seed + 1), cfg)
+    wav, spk = sampler.batch_at(0)
+    import jax.numpy as jnp
+    _, (_, metrics) = mi.loss_fn(
+        params, bn_state, cfg, spec, jnp.asarray(wav), jnp.asarray(spk),
+        jax.random.PRNGKey(9), jnp.int32(0),
+    )
+    ce_t = tm.inverter_loss(tm.params_to_torch(params), cfg, spec, wav, spk)
+    assert abs(float(metrics["recon_ce"]) - float(ce_t.detach())) < 1e-4
+
+
 def test_training_curves_match(data_prefix):
     cfg = tiny_config()
     cfg = dc.replace(cfg, train=dc.replace(cfg.train, n_steps=STEPS,
