@@ -49,11 +49,13 @@ def main() -> int:
     warmup = 3
     iters = int(os.environ.get("BENCH_ITERS", "20"))
 
+    # aux frame head ships with the flagship VQ recipe (codebook health);
+    # BENCH_AUX_WEIGHT=0 isolates its throughput cost in an A/B
+    aux_w = float(os.environ.get("BENCH_AUX_WEIGHT", "1.0"))
     cfg = RunConfig(
         bottleneck=BottleneckConfig(kind="vq"),
-        # aux frame head ships with the flagship VQ recipe (codebook health)
         train=TrainConfig(batch_sz=batch_sz, n_win=n_win,
-                          aux_frame_weight=1.0),
+                          aux_frame_weight=aux_w),
     )
     if os.environ.get("BENCH_PALLAS_STACK", "1") == "1":
         # fused Pallas gated-conv stack (ops/gated_pallas.py): measured
@@ -121,13 +123,17 @@ def main() -> int:
                 from ae_wavenet_tpu.training.chassis import Chassis
 
                 k = int(os.environ.get("BENCH_STEPS_PER_CALL", "8"))
+                n_e2e = max(3 * k, iters - iters % k)  # >=3 dispatch blocks
+                # log only at the segment end: a mid-segment log point costs a
+                # synchronous metrics device_get (one full tunnel RTT) inside
+                # the timed window, which is measurement overhead, not the
+                # steady-state loop (steady state logs every log_every=100+)
                 cfg_e2e = dataclasses.replace(
                     cfg, train=dataclasses.replace(cfg.train,
                                                    steps_per_call=k,
-                                                   log_every=iters))
+                                                   log_every=1 << 30))
                 ch = Chassis(cfg_e2e, prefix, log_stream=io.StringIO())
                 ch.train(2 * k)  # warmup: compile, fill loader buffers
-                n_e2e = max(3 * k, iters - iters % k)  # >=3 dispatch blocks
                 t0 = time.perf_counter()
                 hist = ch.train(n_e2e)
                 dt_e2e = time.perf_counter() - t0

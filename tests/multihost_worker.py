@@ -56,6 +56,17 @@ def main() -> int:
                   log_stream=open(os.devnull, "w"))
     resumed = ch2.resume()
     history2 = ch2.train(1)
+    # K-step dispatch over the multi-process mesh: the staged [K, B, ...]
+    # block is placed with block_sharding (batch on axis 1) through
+    # make_array_from_callback — the one DP combination no other test
+    # exercises across processes
+    cfg_k = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, steps_per_call=2)
+    )
+    ch3 = Chassis(cfg_k, data_prefix, ckpt_dir=ckpt_dir, mesh=mesh,
+                  log_stream=open(os.devnull, "w"))
+    ch3.resume()
+    history3 = ch3.train(2)
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -64,6 +75,7 @@ def main() -> int:
                 "grad_norms": [h["grad_norm"] for h in history],
                 "resumed_step": resumed,
                 "post_resume_loss": history2[-1]["loss"],
+                "kstep_loss": history3[-1]["loss"],
             },
             f,
         )

@@ -81,6 +81,11 @@ def test_two_process_dp_matches_single_process(tmp_path, synth_data):
     np.testing.assert_allclose(results[0]["post_resume_loss"],
                                results[1]["post_resume_loss"],
                                rtol=0, atol=0)
+    # K-step dispatch (steps_per_call=2) across processes: the [K, B, ...]
+    # block sharding feeds per-process shards; pmean'd metrics still agree
+    np.testing.assert_allclose(results[0]["kstep_loss"],
+                               results[1]["kstep_loss"],
+                               rtol=0, atol=0)
 
     # and equal to a single-process 4-device mesh run of the same config
     import dataclasses
