@@ -41,13 +41,11 @@ def main(argv=None) -> int:
     step, tree, cfg = ckpt_mod.load(a.ckpt_dir, a.step)
     print(f"loaded step {step} ({cfg.model_kind}, bottleneck={cfg.bottleneck.kind})")
     model = registry.get(cfg.model_kind)
-    # rebuild canonical pytree structure (orbax may restore tuples as lists)
+    # rebuild canonical pytree structure (orbax may restore tuples as lists);
+    # guarded rebuild shared with Chassis.resume (checkpoint.merge_into)
     ref_params, ref_bn = model.init(jax.random.PRNGKey(0), cfg)
-    merge = lambda ref, new: jax.tree.unflatten(
-        jax.tree.structure(ref), [jnp.asarray(x) for x in jax.tree.leaves(new)]
-    )
-    params = merge(ref_params, tree["params"])
-    bn_state = merge(ref_bn, tree["bn_state"])
+    params = ckpt_mod.merge_into(ref_params, tree["params"], "params")
+    bn_state = ckpt_mod.merge_into(ref_bn, tree["bn_state"], "bn_state")
 
     ds = PackedDataset(a.data)
     o, l = int(ds.offsets[a.clip]), int(ds.lengths[a.clip])

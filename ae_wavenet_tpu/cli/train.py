@@ -47,7 +47,11 @@ def _add_runtime_flags(p):
     p.add_argument("--steps-per-call", type=int, default=None,
                    help="K>1: one jitted program advances K steps (amortizes "
                         "host dispatch; numerics identical — n-steps must "
-                        "be a multiple of K)")
+                        "be a multiple of K).  Preemption note: SIGTERM is "
+                        "only consulted BETWEEN dispatches, so the save "
+                        "latency grows by up to one K-step block's wall "
+                        "time; on preemptible hosts keep K * step_time well "
+                        "inside the grace window (K<=16 at flagship scale)")
     # observability (SURVEY.md §5 rows 1-2, 5)
     p.add_argument("--tb-logdir", default=None,
                    help="also write metrics as TensorBoard scalars")

@@ -16,6 +16,7 @@ import threading
 from typing import Iterator
 
 import jax
+import numpy as np
 
 from ae_wavenet_tpu.data.dataset import WindowSampler
 from ae_wavenet_tpu.parallel import mesh as mesh_mod
@@ -57,8 +58,6 @@ def device_batches(
         if block == 1:
             wav, spk = sampler.batch_at(s)
             return (s, (put_fn(wav), put_fn(spk)))
-        import numpy as np
-
         ws, ks = zip(*(sampler.batch_at(s + i) for i in range(block)))
         return (s, (put_fn(np.stack(ws)), put_fn(np.stack(ks))))
 

@@ -52,6 +52,8 @@ def free_running_report(
     rng,
     n_samples: int | None = None,
     encode_fn=None,
+    temperature: float = 1.0,
+    nll_buckets: int = 0,
 ) -> dict:
     """Free-running quality on whole utterances.
 
@@ -65,6 +67,21 @@ def free_running_report(
     * ``teacher_nll`` — same positions, teacher forcing (the baseline)
     * ``spectral_l2`` — log-mel distance reconstruction vs source
     * ``n_scored``    — samples scored per utterance
+
+    ``temperature`` shapes the ROLLOUT trajectory only (greedy at 0.0);
+    ground truth is always scored under the untempered per-step softmax so
+    free_nll stays comparable across temperatures.  ``nll_buckets`` > 0 adds
+    ``free_nll_curve``: mean NLL over that many equal rollout-position
+    segments — the free_nll-vs-length trend that separates compounding AR
+    drift (starts near teacher_nll, grows) from a broken model (flat-high
+    from position 0).
+
+    Interpretation caveat (measured in docs/BASELINE.md "divergence"): past
+    the first few hundred samples a rollout is a DIFFERENT sample from the
+    audio distribution, so p(ground truth | generated past) is expected to
+    fall even for a perfect model once trajectories decorrelate; the curve's
+    early segment and the spectral distance carry the quality signal, the
+    late tail measures decorrelation.
 
     Returns the metrics dict plus the generated ids/start offset.
     """
@@ -81,14 +98,19 @@ def free_running_report(
     rf, n, ids, cond = prep.rf, prep.n, prep.ids, prep.cond
     gen_ids, _, logits = fastgen.generate(
         params["wavenet"], wcfg, prep.state, prep.gen_cond, prep.rng_g,
-        gc_ids=spk, temperature=1.0, return_logits=True,
+        gc_ids=spk, temperature=temperature, return_logits=True,
     )
 
     start = prep.start
     truth = ids[..., start : start + n]                    # [B, n]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
-    free_nll = float(jnp.mean(
-        -jnp.take_along_axis(logp, truth[:, None, :], axis=1)))
+    per_pos_nll = -jnp.take_along_axis(logp, truth[:, None, :], axis=1)
+    free_nll = float(jnp.mean(per_pos_nll))
+    curve = None
+    if nll_buckets > 0:
+        seg = np.array_split(np.asarray(per_pos_nll).mean(axis=(0, 1)),
+                             nll_buckets)
+        curve = [round(float(s.mean()), 4) for s in seg]
 
     # teacher-forced NLL at the SAME positions (the non-compounding bound):
     # feed the real past, score the same targets
@@ -107,12 +129,58 @@ def free_running_report(
     # must beat this to carry any signal content at all)
     silence = log_mel_distance(np.zeros_like(src), src, cfg.spec)
 
-    return {
+    rep = {
         "free_nll": free_nll,
         "teacher_nll": teacher_nll,
         "spectral_l2": spectral,
         "spectral_l2_vs_silence": silence,
+        "temperature": temperature,
         "n_scored": n,
         "ids": gen_ids,
         "start": start,
     }
+    if curve is not None:
+        rep["free_nll_curve"] = curve
+    return rep
+
+
+def divergence_report(
+    params: dict,
+    bn_state: dict,
+    cfg: RunConfig,
+    wav_i16,
+    spk,
+    rng,
+    n_samples: int | None = None,
+    encode_fn=None,
+    temperatures=(1.0, 0.9, 0.8, 0.0),
+    nll_buckets: int = 8,
+) -> dict:
+    """Rollout-divergence diagnosis (round-3 verdict #3): sweep the sampling
+    temperature and bucket free_nll by rollout position, isolating WHERE the
+    teacher/free gap comes from:
+
+    * gap shrinks a lot at lower temperature -> temperature-1.0 sampling
+      noise kicks trajectories off the manifold (set the generate CLI
+      default accordingly)
+    * early buckets near teacher_nll, late buckets high at ALL temperatures
+      -> trajectory decorrelation (inherent to the metric, judge by
+      spectral_l2)
+    * flat-high from bucket 0 -> the model itself is off-manifold
+      (undertraining / conditioning failure)
+    """
+    out = {"temperatures": {}}
+    for t in temperatures:
+        rep = free_running_report(
+            params, bn_state, cfg, wav_i16, spk, rng,
+            n_samples=n_samples, encode_fn=encode_fn, temperature=t,
+            nll_buckets=nll_buckets,
+        )
+        key = "greedy" if t == 0.0 else f"{t:g}"
+        out["temperatures"][key] = {
+            k: rep[k] for k in ("free_nll", "spectral_l2", "free_nll_curve")
+        }
+        out["teacher_nll"] = rep["teacher_nll"]
+        out["spectral_l2_vs_silence"] = rep["spectral_l2_vs_silence"]
+        out["n_scored"] = rep["n_scored"]
+    return out

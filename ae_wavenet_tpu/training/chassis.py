@@ -235,6 +235,7 @@ class Chassis:
             self.model.loss_fn, n_steps_per_call=self.k_steps,
         )
         self.step = 0
+        self._saver = None
         init_key = jax.random.PRNGKey(cfg.train.seed + 1)
         self.params, self.bn_state = self.model.init(init_key, cfg)
         self.opt_state = self.optimizer.init(self.params)
@@ -244,13 +245,25 @@ class Chassis:
             self.opt_state = mesh_mod.put_replicated(self.opt_state, mesh)
 
     # ------------------------------------------------------------ persist
-    def save(self) -> str:
+    def save(self, blocking: bool = True) -> str:
+        """blocking=False (the in-loop periodic saves): hand the arrays to
+        Orbax's AsyncCheckpointer and keep stepping while background threads
+        serialize + write; the train loop only ever pays the device->host
+        snapshot.  External callers keep the blocking contract (the save is
+        durable when this returns)."""
         tree = {
             "params": self.params,
             "opt_state": self.opt_state,
             "bn_state": self.bn_state,
         }
-        return ckpt_mod.save(self.ckpt_dir, self.step, tree, self.cfg)
+        if self._saver is None:
+            self._saver = ckpt_mod.Saver()
+        return self._saver.save(self.ckpt_dir, self.step, tree, self.cfg,
+                                blocking=blocking)
+
+    def wait_for_saves(self) -> None:
+        if self._saver is not None:
+            self._saver.wait()
 
     def resume(self, step: int | None = None) -> int:
         step, tree, _cfg = ckpt_mod.load(self.ckpt_dir, step)
@@ -260,36 +273,9 @@ class Chassis:
             if self.mesh is not None
             else jax.device_put
         )
-        def merge(ref, new, what):
-            # restored containers may differ (tuple->list etc.); rebuild into
-            # the reference structure by leaf order.  Guard the rebuild: a
-            # leaf-count mismatch means the runtime config builds a DIFFERENT
-            # model than the checkpoint's (e.g. aux_frame_weight flipped
-            # on/off since the save) — positional unflatten would either
-            # throw an opaque error or, worse, silently misassign weights.
-            ref_leaves = jax.tree.leaves(ref)
-            new_leaves = jax.tree.leaves(new)
-            if len(ref_leaves) != len(new_leaves):
-                raise ValueError(
-                    f"checkpoint {what} tree has {len(new_leaves)} leaves but "
-                    f"the current config builds {len(ref_leaves)} — the "
-                    f"model architecture changed since the save; resume "
-                    f"with the checkpoint's embedded config (CLI `resume` "
-                    f"does this) or match the flags (aux_frame_weight, "
-                    f"bottleneck kind, model dims) to the original run"
-                )
-            for rl, nl in zip(ref_leaves, new_leaves):
-                if tuple(rl.shape) != tuple(np.shape(nl)):
-                    raise ValueError(
-                        f"checkpoint {what} leaf shape {np.shape(nl)} != "
-                        f"model's {tuple(rl.shape)} — architecture drift "
-                        f"since the save"
-                    )
-            return jax.tree.unflatten(
-                jax.tree.structure(ref),
-                [put(jnp.asarray(x)) for x in new_leaves],
-            )
-
+        # guarded positional rebuild, shared by all restore paths
+        # (training/checkpoint.merge_into)
+        merge = lambda ref, new, what: ckpt_mod.merge_into(ref, new, what, put)
         self.params = merge(self.params, tree["params"], "params")
         self.opt_state = merge(self.opt_state, tree["opt_state"], "opt_state")
         self.bn_state = merge(self.bn_state, tree["bn_state"], "bn_state")
@@ -478,7 +464,7 @@ class Chassis:
                     ev = {f"eval_{k}": v for k, v in self.evaluate().items()}
                     self.logger.log(self.step, ev)
                 if self.ckpt_dir and crossed(t_cfg.ckpt_every, s, self.step):
-                    self.save()
+                    self.save(blocking=False)
                 if stop_requested(s, self.step):
                     path = self.save()
                     self.logger.log(self.step,
@@ -486,6 +472,9 @@ class Chassis:
                     break
         finally:
             prof_stack.close()
+            # async saves issued in-loop must be durable before train()
+            # returns (callers resume/read checkpoints right after)
+            self.wait_for_saves()
             # restore on every exit path (a raised loader/eval exception must
             # not leave the process un-interruptible)
             for sig, h in old_handlers.items():

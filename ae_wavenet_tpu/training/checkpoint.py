@@ -5,12 +5,20 @@ Rebuild of the reference ``checkpoint.py`` [H] (SURVEY.md §5): one logical
 step counter, and the data-stream position, plus the full serialized config
 so architecture flags cannot drift on resume.
 
-TPU-native implementation: Orbax (async-capable, sharding-aware) for the
-array pytree; the config travels as JSON.  The data-stream position needs no
-iterator state — the sampler is counter-based (data/dataset.py), so
-``step`` IS the stream position; resuming at the saved step continues the
-identical sample sequence (same reproducibility contract as the reference's
-saved iterator+RNG state).
+TPU-native implementation: Orbax for the array pytree; the config travels as
+JSON.  The data-stream position needs no iterator state — the sampler is
+counter-based (data/dataset.py), so ``step`` IS the stream position;
+resuming at the saved step continues the identical sample sequence (same
+reproducibility contract as the reference's saved iterator+RNG state).
+
+Async saves (SURVEY.md §5 "frequent async Orbax checkpoints"): periodic
+saves go through :class:`Saver`, which hands the device arrays to Orbax's
+``AsyncCheckpointer`` — serialization + disk write happen on background
+threads while the train loop keeps stepping; only the device→host snapshot
+is synchronous.  The ``LATEST`` pointer and the embedded config are written
+AFTER the async commit finalizes (at the next save / explicit ``wait``), so
+a reader never follows ``LATEST`` into a half-written directory; Orbax's own
+tmp-dir + rename keeps the step directory itself atomic.
 """
 
 from __future__ import annotations
@@ -20,26 +28,18 @@ import os
 import re
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from ae_wavenet_tpu.utils import config as config_mod
 
 
-def save(ckpt_dir: str, step: int, tree: dict, cfg: config_mod.RunConfig) -> str:
-    """tree: {'params', 'opt_state', 'bn_state'} (any pytree of arrays).
+def _step_path(ckpt_dir: str, step: int) -> str:
+    return os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
 
-    Multi-host: EVERY process calls the (multihost-aware) orbax save — its
-    internal barriers require all processes, and with the fully-replicated
-    host tree its primary-host logic writes each array once — while the
-    JSON sidecars are written by process 0 alone (the reference's
-    ``xm.save`` master-ordinal pattern [SURVEY.md §3.1]); a final global
-    sync keeps any host from acting on a half-written checkpoint."""
-    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
-    os.makedirs(ckpt_dir, exist_ok=True)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        # force=True makes save idempotent (e.g. a preemption save followed
-        # by the CLI's final save at the same step)
-        ckptr.save(path, jax.device_get(tree), force=True)
+
+def _write_sidecars(ckpt_dir: str, path: str, step: int,
+                    cfg: config_mod.RunConfig) -> None:
     if jax.process_index() == 0:
         with open(os.path.join(path, "run_config.json"), "w") as f:
             f.write(config_mod.to_json(cfg))
@@ -49,20 +49,81 @@ def save(ckpt_dir: str, step: int, tree: dict, cfg: config_mod.RunConfig) -> str
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(f"ckpt_save_{step}")
-    return path
+
+
+class Saver:
+    """Async checkpoint writer; one in-flight save at a time.
+
+    ``save()`` returns as soon as the arrays are snapshotted; the previous
+    save (if still writing) is finalized first.  Call ``wait()`` before
+    process exit or before any read-back of the just-saved step.  Multi-host:
+    every process participates (Orbax's async barriers require it), sidecars
+    come from process 0 after the commit.
+    """
+
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        self._pending: tuple[str, str, int, config_mod.RunConfig] | None = None
+
+    def save(self, ckpt_dir: str, step: int, tree: dict,
+             cfg: config_mod.RunConfig, blocking: bool = False) -> str:
+        self.wait()
+        path = _step_path(ckpt_dir, step)
+        os.makedirs(ckpt_dir, exist_ok=True)
+        # force=True: idempotent (e.g. preemption save + final save at the
+        # same step)
+        self._ckptr.save(path, args=ocp.args.PyTreeSave(tree), force=True)
+        self._pending = (ckpt_dir, path, step, cfg)
+        if blocking:
+            self.wait()
+        return path
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) is durable + sidecars."""
+        if self._pending is None:
+            return
+        self._ckptr.wait_until_finished()
+        ckpt_dir, path, step, cfg = self._pending
+        self._pending = None
+        _write_sidecars(ckpt_dir, path, step, cfg)
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+
+
+def save(ckpt_dir: str, step: int, tree: dict, cfg: config_mod.RunConfig) -> str:
+    """Blocking one-shot save (CLI final saves, tests, export shims)."""
+    saver = Saver()
+    try:
+        return saver.save(ckpt_dir, step, tree, cfg, blocking=True)
+    finally:
+        saver.close()
 
 
 def latest_step(ckpt_dir: str) -> int | None:
+    """Newest LOADABLE step.
+
+    A step is loadable when its directory is committed (Orbax keeps
+    uncommitted writes in tmp-suffixed dirs the regex skips) AND its config
+    sidecar exists — a crash between the async commit and the finalizer
+    leaves arrays without a sidecar, and resume must fall back to the
+    previous complete save rather than die on the newest dir."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    complete = [
+        int(m.group(1))
+        for d in os.listdir(ckpt_dir)
+        if (m := re.fullmatch(r"step_(\d+)", d))
+        and os.path.exists(os.path.join(ckpt_dir, d, "run_config.json"))
+    ]
+    if complete:
+        return max(complete)
     try:
         with open(os.path.join(ckpt_dir, "LATEST")) as f:
             return int(f.read().strip())
-    except FileNotFoundError:
-        steps = [
-            int(m.group(1))
-            for d in os.listdir(ckpt_dir)
-            if (m := re.fullmatch(r"step_(\d+)", d))
-        ] if os.path.isdir(ckpt_dir) else []
-        return max(steps) if steps else None
+    except (FileNotFoundError, ValueError):
+        return None
 
 
 def load(ckpt_dir: str, step: int | None = None):
@@ -71,9 +132,52 @@ def load(ckpt_dir: str, step: int | None = None):
         step = latest_step(ckpt_dir)
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
-    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
-    with ocp.PyTreeCheckpointer() as ckptr:
+    path = _step_path(ckpt_dir, step)
+    with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
         tree = ckptr.restore(path)
-    with open(os.path.join(path, "run_config.json")) as f:
+    cfg_file = os.path.join(path, "run_config.json")
+    if not os.path.exists(cfg_file):
+        raise FileNotFoundError(
+            f"{cfg_file} missing — the save's finalizer (Saver.wait) never "
+            f"ran; the arrays committed but the config sidecar did not"
+        )
+    with open(cfg_file) as f:
         cfg = config_mod.from_json(f.read())
     return step, tree, cfg
+
+
+def merge_into(ref, new, what: str, put=None):
+    """Rebuild ``new``'s leaves into ``ref``'s structure, guarded.
+
+    Restored containers may differ from the live model's (tuple->list etc.);
+    the rebuild is positional by leaf order, so it MUST be guarded: a
+    leaf-count or shape mismatch means the runtime config builds a DIFFERENT
+    model than the checkpoint's (e.g. aux_frame_weight flipped on/off since
+    the save) — positional unflatten would either throw an opaque error or,
+    worse, silently misassign weights.  Shared by every checkpoint-restore
+    path (Chassis.resume, scripts/eval_quality, generation CLI)."""
+    import jax.numpy as jnp
+
+    put = jax.device_put if put is None else put
+    ref_leaves = jax.tree.leaves(ref)
+    new_leaves = jax.tree.leaves(new)
+    if len(ref_leaves) != len(new_leaves):
+        raise ValueError(
+            f"checkpoint {what} tree has {len(new_leaves)} leaves but "
+            f"the current config builds {len(ref_leaves)} — the "
+            f"model architecture changed since the save; resume "
+            f"with the checkpoint's embedded config (CLI `resume` "
+            f"does this) or match the flags (aux_frame_weight, "
+            f"bottleneck kind, model dims) to the original run"
+        )
+    for rl, nl in zip(ref_leaves, new_leaves):
+        if tuple(rl.shape) != tuple(np.shape(nl)):
+            raise ValueError(
+                f"checkpoint {what} leaf shape {np.shape(nl)} != "
+                f"model's {tuple(rl.shape)} — architecture drift "
+                f"since the save"
+            )
+    return jax.tree.unflatten(
+        jax.tree.structure(ref),
+        [put(jnp.asarray(x)) for x in new_leaves],
+    )

@@ -115,6 +115,16 @@ class WaveNetConfig:
     fastgen_vmem_dil_max: int = 16  # AR sampler: ring buffers with dilation
                                     # <= this stay VMEM-resident
 
+    def __post_init__(self):
+        # validated at construction so a bad --gated-bwd-tile raises here
+        # instead of silently disqualifying the fused stack in
+        # ops/gated_pallas.supports_pallas_stack (round-3 advisor finding)
+        if self.gated_bwd_tile and self.gated_tile % self.gated_bwd_tile:
+            raise ValueError(
+                f"gated_bwd_tile={self.gated_bwd_tile} must divide "
+                f"gated_tile={self.gated_tile}"
+            )
+
     @property
     def dilations(self) -> Tuple[int, ...]:
         return tuple(

@@ -29,6 +29,13 @@ def main(argv=None) -> int:
     p.add_argument("--max-input", type=int, default=64000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--json", default=None, help="also append records here")
+    p.add_argument("--divergence", action="store_true",
+                   help="temperature sweep + free_nll-vs-position curve "
+                        "(eval/quality.divergence_report) instead of the "
+                        "single-temperature report")
+    p.add_argument("--temperatures", default="1.0,0.9,0.8,0.0",
+                   help="comma list for --divergence (0 = greedy)")
+    p.add_argument("--nll-buckets", type=int, default=8)
     a = p.parse_args(argv)
 
     import numpy as np
@@ -36,18 +43,17 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from ae_wavenet_tpu.data.dataset import PackedDataset
-    from ae_wavenet_tpu.eval.quality import free_running_report
+    from ae_wavenet_tpu.eval.quality import divergence_report, free_running_report
     from ae_wavenet_tpu.models import registry
     from ae_wavenet_tpu.training import checkpoint as ckpt_mod
 
     step, tree, cfg = ckpt_mod.load(a.ckpt_dir, a.step)
     model = registry.get(cfg.model_kind)
     ref_params, ref_bn = model.init(jax.random.PRNGKey(0), cfg)
-    merge = lambda ref, new: jax.tree.unflatten(
-        jax.tree.structure(ref), [jnp.asarray(x) for x in jax.tree.leaves(new)]
-    )
-    params = merge(ref_params, tree["params"])
-    bn_state = merge(ref_bn, tree["bn_state"])
+    # guarded rebuild (leaf-count/shape validation) shared with
+    # Chassis.resume — a stale dir or hand-edited config fails loudly here
+    params = ckpt_mod.merge_into(ref_params, tree["params"], "params")
+    bn_state = ckpt_mod.merge_into(ref_bn, tree["bn_state"], "bn_state")
 
     ds = PackedDataset(a.data)
     records = []
@@ -55,6 +61,19 @@ def main(argv=None) -> int:
         o, l = int(ds.offsets[ci]), int(ds.lengths[ci])
         wav = np.asarray(ds.data[o : o + min(l, a.max_input)])[None, :]
         spk = jnp.asarray(ds.speakers[ci : ci + 1])
+        if a.divergence:
+            rep = divergence_report(
+                params, bn_state, cfg, jnp.asarray(wav), spk,
+                jax.random.PRNGKey(a.seed), n_samples=a.n_samples,
+                encode_fn=getattr(model, "encode", None),
+                temperatures=tuple(float(x) for x in
+                                   a.temperatures.split(",") if x),
+                nll_buckets=a.nll_buckets,
+            )
+            rec = {"step": step, "clip": ci, "divergence": rep}
+            records.append(rec)
+            print(json.dumps(rec), flush=True)
+            continue
         rep = free_running_report(
             params, bn_state, cfg, jnp.asarray(wav), spk,
             jax.random.PRNGKey(a.seed), n_samples=a.n_samples,
@@ -70,13 +89,33 @@ def main(argv=None) -> int:
         records.append(rec)
         print(json.dumps(rec), flush=True)
 
-    summary = {
-        "step": step,
-        "clips": len(records),
-        "free_nll_mean": round(float(np.mean([r["free_nll"] for r in records])), 4),
-        "teacher_nll_mean": round(float(np.mean([r["teacher_nll"] for r in records])), 4),
-        "spectral_l2_mean": round(float(np.mean([r["spectral_l2"] for r in records])), 4),
-    }
+    if a.divergence:
+        summary = {
+            "step": step,
+            "clips": len(records),
+            "teacher_nll_mean": round(float(np.mean(
+                [r["divergence"]["teacher_nll"] for r in records])), 4),
+            "free_nll_by_temp": {
+                t: round(float(np.mean(
+                    [r["divergence"]["temperatures"][t]["free_nll"]
+                     for r in records])), 4)
+                for t in records[0]["divergence"]["temperatures"]
+            },
+            "spectral_l2_by_temp": {
+                t: round(float(np.mean(
+                    [r["divergence"]["temperatures"][t]["spectral_l2"]
+                     for r in records])), 4)
+                for t in records[0]["divergence"]["temperatures"]
+            },
+        }
+    else:
+        summary = {
+            "step": step,
+            "clips": len(records),
+            "free_nll_mean": round(float(np.mean([r["free_nll"] for r in records])), 4),
+            "teacher_nll_mean": round(float(np.mean([r["teacher_nll"] for r in records])), 4),
+            "spectral_l2_mean": round(float(np.mean([r["spectral_l2"] for r in records])), 4),
+        }
     print(json.dumps({"summary": summary}), flush=True)
     if a.json:
         with open(a.json, "a") as f:

@@ -104,3 +104,51 @@ def test_eval_quality_script(trained, tmp_path, capsys):
     assert "summary" in lines[-1]
     assert lines[-1]["summary"]["clips"] == 2
     assert np.isfinite(lines[-1]["summary"]["free_nll_mean"])
+
+
+def test_divergence_report(trained):
+    """Temperature sweep + NLL-vs-position curve (round-3 verdict #3): keys
+    present, curves the right length, greedy included, scoring untempered
+    (teacher_nll identical across sweep entries by construction)."""
+    from ae_wavenet_tpu.data.dataset import PackedDataset
+    from ae_wavenet_tpu.eval.quality import divergence_report
+
+    ch, prefix = trained
+    ds = PackedDataset(prefix)
+    o, l = int(ds.offsets[1]), int(ds.lengths[1])
+    wav = np.asarray(ds.data[o : o + min(l, 12000)])[None, :]
+    spk = jnp.asarray(ds.speakers[1:2])
+    rep = divergence_report(
+        ch.params, ch.bn_state, ch.cfg, jnp.asarray(wav), spk,
+        jax.random.PRNGKey(0), n_samples=600,
+        temperatures=(1.0, 0.8, 0.0), nll_buckets=4)
+    assert set(rep["temperatures"]) == {"1", "0.8", "greedy"}
+    for t, m in rep["temperatures"].items():
+        assert np.isfinite(m["free_nll"]), t
+        assert np.isfinite(m["spectral_l2"]), t
+        assert len(m["free_nll_curve"]) == 4, t
+    assert np.isfinite(rep["teacher_nll"])
+    assert rep["n_scored"] == 600
+
+
+def test_eval_quality_script_divergence(trained, tmp_path, capsys):
+    import json
+
+    from scripts.eval_quality import main
+
+    ch, prefix = trained
+    ck = str(tmp_path / "ckd")
+    ch.ckpt_dir = ck
+    ch.save()
+    rc = main(["--ckpt-dir", ck, "--data", prefix, "--clips", "0",
+               "--n-samples", "400", "--max-input", "12000",
+               "--divergence", "--temperatures", "1.0,0.0",
+               "--nll-buckets", "4"])
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.splitlines()
+             if x.startswith("{")]
+    summary = lines[-1]["summary"]
+    assert set(summary["free_nll_by_temp"]) == {"1", "greedy"}
+    assert np.isfinite(summary["teacher_nll_mean"])
+    div = lines[0]["divergence"]
+    assert len(div["temperatures"]["1"]["free_nll_curve"]) == 4
