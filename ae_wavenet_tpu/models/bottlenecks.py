@@ -83,14 +83,24 @@ def _apply_vae(params, cfg: BottleneckConfig, z, rng, step, train):
     else:
         zq = mu
     # KL(N(mu, sig) || N(0, 1)) per dim, free-bits floored, averaged
-    kl = 0.5 * (jnp.square(mu) + jnp.exp(2.0 * log_sig) - 2.0 * log_sig - 1.0)
-    kl = jnp.maximum(kl, cfg.free_nats)
+    kl_dims = 0.5 * (jnp.square(mu) + jnp.exp(2.0 * log_sig) - 2.0 * log_sig - 1.0)
+    kl = jnp.maximum(kl_dims, cfg.free_nats)
     kl = jnp.mean(jnp.sum(kl, axis=1))  # nats per latent frame
     if cfg.kl_anneal_steps > 0:
         w = jnp.minimum(step.astype(jnp.float32) / cfg.kl_anneal_steps, 1.0)
     else:
         w = jnp.float32(1.0)
-    aux = {"bn_loss": w * kl, "kl": kl, "kl_weight": w}
+    # posterior-health diagnostics (the VAE analogue of VQ perplexity;
+    # round-3 lesson: a unit-green bottleneck can still be uselessly
+    # collapsed in real training, so the step reports what the latents
+    # carry): active_units counts dims whose UNfloored batch-mean KL
+    # exceeds 0.02 nats — collapse shows as active_units -> 0 while
+    # recon_ce approaches the 'zero'-ablation baseline
+    kl_dim_mean = jnp.mean(kl_dims, axis=(0, 2))  # [D], pre-free-bits
+    active = jnp.sum((kl_dim_mean > 0.02).astype(jnp.float32))
+    aux = {"bn_loss": w * kl, "kl": kl, "kl_weight": w,
+           "active_units": active,
+           "mu_var": jnp.mean(jnp.var(mu, axis=(0, 2)))}
     return zq, {}, aux
 
 

@@ -227,11 +227,19 @@ def vq_config(**overrides) -> RunConfig:
 
 
 def vae_config(**overrides) -> RunConfig:
-    """BASELINE config 3: continuous VAE bottleneck with KL annealing."""
+    """BASELINE config 3: continuous VAE bottleneck with KL annealing.
+
+    Ships with the latent->MFCC auxiliary loss on, like vq_config: measured
+    (scripts/diag_vae.py, 2026-08-18) the VAE posterior collapses exactly
+    like the VQ codebook did — active units 16 -> 0 by step ~250, KL pinned
+    to the free-bits floor, mu variance ~0 — and the aux head holds all
+    units active (16/16 at step 300, same recon CE)."""
     cfg = RunConfig(
         bottleneck=BottleneckConfig(kind="vae", free_nats=0.1,
                                     kl_anneal_steps=20000)
     )
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, aux_frame_weight=1.0))
     return dataclasses.replace(cfg, **overrides) if overrides else cfg
 
 

@@ -46,31 +46,41 @@ def main() -> int:
     n_win = int(os.environ.get("BENCH_NWIN", "24000"))
 
     # --- isolated op: XLA formulation vs fused kernel ----------------------
+    # K sweep (round-3 verdict #9): at K=512 the [N, K] distance matrix fits
+    # comfortably and the two tie (BASELINE.md decision row); K=4096/8192 is
+    # the regime where XLA must materialize a 16k x 8k f32 matrix in HBM
+    # while the fused kernel keeps per-tile distances in VMEM — the
+    # hypothesized win region.  Settles keep-or-retire.
     rng = np.random.default_rng(0)
-    for n in (4096, 16384):
-        k, d = 512, 64
-        z = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
-        e = jnp.asarray(rng.normal(size=(k, d)), jnp.float32)
+    d = 64
+    for k in (512, 4096, 8192):
+        for n in (4096, 16384):
+            z = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+            e = jnp.asarray(rng.normal(size=(k, d)), jnp.float32)
 
-        @jax.jit
-        def xla_vq(zf, e):
-            d2 = (
-                jnp.sum(jnp.square(zf), axis=1, keepdims=True)
-                - 2.0 * (zf @ e.T)
-                + jnp.sum(jnp.square(e), axis=1)[None, :]
-            )
-            idx = jnp.argmin(d2, axis=1)
-            onehot = jax.nn.one_hot(idx, k, dtype=jnp.float32)
-            return idx, onehot @ e, jnp.sum(onehot, 0), onehot.T @ zf
+            @jax.jit
+            def xla_vq(zf, e, k=k):
+                d2 = (
+                    jnp.sum(jnp.square(zf), axis=1, keepdims=True)
+                    - 2.0 * (zf @ e.T)
+                    + jnp.sum(jnp.square(e), axis=1)[None, :]
+                )
+                idx = jnp.argmin(d2, axis=1)
+                onehot = jax.nn.one_hot(idx, k, dtype=jnp.float32)
+                return idx, onehot @ e, jnp.sum(onehot, 0), onehot.T @ zf
 
-        dt_xla = _bench(xla_vq, z, e)
-        dt_pl = _bench(lambda z, e: vq_lookup_fused(z, e, tile_n=512), z, e)
-        print(json.dumps({
-            "bench": "vq_op", "n": n, "k": k, "d": d,
-            "xla_us": round(dt_xla * 1e6, 1),
-            "pallas_us": round(dt_pl * 1e6, 1),
-            "speedup": round(dt_xla / dt_pl, 2),
-        }), flush=True)
+            dt_xla = _bench(xla_vq, z, e)
+            # bound the kernel's VMEM-resident [tile_n, K] distance block to
+            # ~2 MB as K grows
+            tile_n = 512 if k <= 1024 else (128 if k <= 4096 else 64)
+            dt_pl = _bench(lambda z, e: vq_lookup_fused(z, e, tile_n=tile_n),
+                           z, e)
+            print(json.dumps({
+                "bench": "vq_op", "n": n, "k": k, "d": d, "tile_n": tile_n,
+                "xla_us": round(dt_xla * 1e6, 1),
+                "pallas_us": round(dt_pl * 1e6, 1),
+                "speedup": round(dt_xla / dt_pl, 2),
+            }), flush=True)
 
     # --- full flagship train step ------------------------------------------
     results = {}

@@ -41,6 +41,10 @@ def main() -> int:
     ap.add_argument("--out", default="docs/long_run_r3.jsonl")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--quality-samples", type=int, default=16000)
+    ap.add_argument("--quality-every", type=int, default=0,
+                    help=">0: score free-running quality on the holdout "
+                         "clip every N steps (the quality-vs-steps curve; "
+                         "must be a multiple of --steps-per-call)")
     ap.add_argument("--aux-weight", type=float, default=1.0,
                     help="latent->MFCC aux loss weight (keeps the VQ "
                          "codebook alive; measured in scripts/diag_vq.py)")
@@ -102,14 +106,7 @@ def main() -> int:
     ch = Chassis(cfg, prefix, ckpt_dir=ckpt_dir, log_stream=log_f)
     if a.resume:
         print("resumed at", ch.resume(), flush=True)
-    t0 = time.time()
-    ch.train(a.steps - ch.step, eval_every=a.eval_every)
-    wall = time.time() - t0
-    path = ch.save()
-    print(f"trained to step {ch.step} in {wall:.0f}s, saved {path}",
-          flush=True)
 
-    # ---- generation quality from the final params (holdout clip 0)
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -121,19 +118,43 @@ def main() -> int:
     hold = [i for i in range(len(ds)) if i % 5 == 0]
     ci = hold[0]
     o, l = int(ds.offsets[ci]), int(ds.lengths[ci])
-    wav = np.asarray(ds.data[o : o + min(l, 64000)])[None, :]
-    spk = jnp.asarray(ds.speakers[ci : ci + 1])
-    rep = free_running_report(ch.params, ch.bn_state, ch.cfg,
-                              jnp.asarray(wav), spk, jax.random.PRNGKey(0),
-                              n_samples=a.quality_samples)
-    q = {k: round(float(rep[k]), 4) for k in
-         ("free_nll", "teacher_nll", "spectral_l2",
-          "spectral_l2_vs_silence")}
-    q["clip"] = ci
-    q["n_scored"] = int(rep["n_scored"])
-    print(json.dumps({"quality_holdout": q}), flush=True)
-    log_f.write(json.dumps({"quality_holdout": q, "step": ch.step,
-                            "wall_s": round(wall, 1)}) + "\n")
+    q_wav = np.asarray(ds.data[o : o + min(l, 64000)])[None, :]
+    q_spk = jnp.asarray(ds.speakers[ci : ci + 1])
+
+    def quality_probe(wall_s=None):
+        """Free-running quality on the holdout clip at the current params."""
+        rep = free_running_report(
+            ch.params, ch.bn_state, ch.cfg, jnp.asarray(q_wav), q_spk,
+            jax.random.PRNGKey(0), n_samples=a.quality_samples)
+        q = {k: round(float(rep[k]), 4) for k in
+             ("free_nll", "teacher_nll", "spectral_l2",
+              "spectral_l2_vs_silence")}
+        q["clip"] = ci
+        q["n_scored"] = int(rep["n_scored"])
+        rec = {"quality_holdout": q, "step": ch.step}
+        if wall_s is not None:
+            rec["wall_s"] = round(wall_s, 1)
+        print(json.dumps(rec), flush=True)
+        log_f.write(json.dumps(rec) + "\n")
+
+    t0 = time.time()
+    if a.quality_every > 0:
+        # quality-vs-steps curve: train in blocks, probe between them
+        while ch.step < a.steps:
+            n = min(a.quality_every, a.steps - ch.step)
+            ch.train(n, eval_every=a.eval_every)
+            quality_probe()
+    else:
+        ch.train(a.steps - ch.step, eval_every=a.eval_every)
+    wall = time.time() - t0
+    path = ch.save()
+    print(f"trained to step {ch.step} in {wall:.0f}s, saved {path}",
+          flush=True)
+    if a.quality_every <= 0:
+        quality_probe(wall_s=wall)
+    else:
+        log_f.write(json.dumps({"step": ch.step, "wall_s": round(wall, 1),
+                                "done": True}) + "\n")
     log_f.close()
     return 0
 

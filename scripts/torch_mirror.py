@@ -187,12 +187,33 @@ def _vq_apply(bn: dict, cfg_bn, z: torch.Tensor, step: int):
     return zq, new_state, w * cfg_bn.vq_beta * commitment
 
 
+def _vae_apply(p: dict, cfg_bn, z: torch.Tensor, step: int):
+    """Mirror of models/bottlenecks._apply_vae on its DETERMINISTIC path
+    (train=False: zq = mu, no reparameterization draw — the eps stream is
+    JAX RNG the mirror cannot reproduce); the KL term (free-bits floor +
+    linear annealing) is identical to the train path, so parity on this
+    objective covers the mu/sig heads, the KL math, and the gradient flow."""
+    mu = torch.einsum("bdt,ed->bet", z, p["bottleneck.w_mu"]) \
+        + p["bottleneck.b_mu"][None, :, None]
+    log_sig = torch.einsum("bdt,ed->bet", z, p["bottleneck.w_sig"]) \
+        + p["bottleneck.b_sig"][None, :, None]
+    log_sig = torch.clamp(log_sig, -7.0, 7.0)
+    kl = 0.5 * (mu.square() + torch.exp(2.0 * log_sig) - 2.0 * log_sig - 1.0)
+    kl = torch.clamp(kl, min=cfg_bn.free_nats)
+    kl = kl.sum(1).mean()
+    w = (min(step / cfg_bn.kl_anneal_steps, 1.0)
+         if cfg_bn.kl_anneal_steps > 0 else 1.0)
+    return mu, w * kl
+
+
 def step_loss(p: dict, cfg: RunConfig, spec, wav_i16: np.ndarray,
               spk: np.ndarray, bn_state: dict | None = None, step: int = 0):
     """One teacher-forcing step (mirror of models/autoencoder.loss_fn for
-    the 'ae' and deterministic 'vq' configs, incl. the latent->MFCC
-    auxiliary head).  Returns (total, recon_ce, new_bn_state)."""
-    assert cfg.bottleneck.kind in ("ae", "vq"), "mirror covers ae/vq"
+    the 'ae', deterministic 'vq', and deterministic 'vae' configs, incl.
+    the latent->MFCC auxiliary head).  Returns (total, recon_ce,
+    new_bn_state)."""
+    assert cfg.bottleneck.kind in ("ae", "vq", "vae"), \
+        "mirror covers ae/vq/vae"
     wav = torch.from_numpy(np.asarray(wav_i16)).float() * (1.0 / 32768.0)
     spk = torch.from_numpy(np.asarray(spk)).long()
 
@@ -203,6 +224,9 @@ def step_loss(p: dict, cfg: RunConfig, spec, wav_i16: np.ndarray,
     new_bn_state = bn_state
     if cfg.bottleneck.kind == "vq":
         zq, new_bn_state, bn_loss = _vq_apply(bn_state, cfg.bottleneck, z, step)
+        extra = extra + bn_loss
+    elif cfg.bottleneck.kind == "vae":
+        zq, bn_loss = _vae_apply(p, cfg.bottleneck, z, step)
         extra = extra + bn_loss
     else:
         zq = z

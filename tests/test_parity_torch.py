@@ -159,3 +159,85 @@ def test_training_curves_match(data_prefix):
     # measured: max 0.005 over the first 50 steps of the 200-step run
     # (docs/parity_curves.json); 0.02 leaves slack for BLAS reassociation
     assert max(diffs) < 0.02, diffs
+
+
+def _vae_parity_config():
+    """Deterministic VAE twin config: parity runs the EVAL latent path
+    (zq = mu; the reparameterization eps is JAX RNG the mirror cannot
+    reproduce) while keeping the FULL KL objective (free-bits floor +
+    linear annealing) and the latent->MFCC aux head — covering the mu/sig
+    heads, the KL math, and the gradient flow through both."""
+    from ae_wavenet_tpu.utils.config import BottleneckConfig
+
+    cfg = tiny_config()
+    return dc.replace(
+        cfg,
+        bottleneck=BottleneckConfig(kind="vae", n_dim=16, free_nats=0.1,
+                                    kl_anneal_steps=50),
+        train=dc.replace(cfg.train, n_steps=STEPS, log_every=1,
+                         learning_rate=1e-3, aux_frame_weight=1.0),
+    )
+
+
+def test_vae_single_loss_bit_close(data_prefix):
+    cfg = _vae_parity_config()
+    spec = ae.make_window_spec(cfg)
+    ds = PackedDataset(data_prefix)
+    sampler = WindowSampler(ds, spec.u_len, cfg.train.batch_sz, cfg.train.seed)
+    params, bn_state = ae.init(jax.random.PRNGKey(cfg.train.seed + 1), cfg)
+    wav, spk = sampler.batch_at(0)
+    import jax.numpy as jnp
+    total_j, (_, metrics) = ae.loss_fn(
+        params, bn_state, cfg, spec, jnp.asarray(wav), jnp.asarray(spk),
+        jax.random.PRNGKey(9), jnp.int32(0), train=False,
+    )
+    total_t, ce_t, _ = tm.step_loss(tm.params_to_torch(params), cfg, spec,
+                                    wav, spk, step=0)
+    assert abs(float(metrics["recon_ce"]) - float(ce_t.detach())) < 1e-4
+    assert abs(float(total_j) - float(total_t.detach())) < 1e-3
+    # KL must be a real term at init (not already collapsed to the floor
+    # on every dim), else the parity covers nothing
+    assert float(metrics["kl"]) > cfg.bottleneck.n_dim * cfg.bottleneck.free_nats
+
+
+def test_vae_training_curves_match(data_prefix):
+    """mu/sig heads + KL(free-bits, annealed) + aux-head training parity on
+    the deterministic objective: recon-CE curves must agree step by step."""
+    import jax.numpy as jnp
+    import optax
+
+    cfg = _vae_parity_config()
+    spec = ae.make_window_spec(cfg)
+    ds = PackedDataset(data_prefix)
+    sampler = WindowSampler(ds, spec.u_len, cfg.train.batch_sz, cfg.train.seed)
+    params, bn_state = ae.init(jax.random.PRNGKey(cfg.train.seed + 1), cfg)
+    init_params = jax.tree.map(lambda x: np.array(x), params)
+
+    t = cfg.train
+    opt = optax.adam(t.learning_rate, b1=t.adam_b1, b2=t.adam_b2,
+                     eps=t.adam_eps)
+    opt_state = opt.init(params)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step_fn(params, opt_state, wav, spk, step):
+        def lf(p):
+            total, (_, m) = ae.loss_fn(
+                p, bn_state, cfg, spec, wav, spk, jax.random.PRNGKey(9),
+                step, train=False)
+            return total, m
+        (total, m), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, m
+
+    jax_ce = []
+    for s in range(STEPS):
+        wav, spk = sampler.batch_at(s)
+        params, opt_state, m = step_fn(params, opt_state, jnp.asarray(wav),
+                                       jnp.asarray(spk), jnp.int32(s))
+        jax_ce.append(float(m["recon_ce"]))
+
+    torch_ce = tm.train_curve(cfg, spec, init_params, sampler, STEPS)
+    diffs = [abs(a - b) for a, b in zip(jax_ce, torch_ce)]
+    assert max(diffs) < 0.02, diffs
