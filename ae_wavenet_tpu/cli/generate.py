@@ -20,7 +20,12 @@ def main(argv=None) -> int:
     p.add_argument("--n-samples", type=int, default=16000)
     p.add_argument("--max-input", type=int, default=64000,
                    help="cap on input samples fed to the encoder")
-    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--temperature", type=float, default=1.0,
+                   help="sampling temperature (0 = greedy). Default 1.0 is "
+                        "MEASURED (BASELINE.md 'rollout divergence'): lower "
+                        "temperatures do not improve ground-truth NLL and "
+                        "worsen spectral distance; greedy collapses the "
+                        "audio (spectral_l2 62 vs 21 at 1.0)")
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-streaming fused kernel (TPU; ~1.3x "
                         "faster AR sampling, slight quantization noise)")

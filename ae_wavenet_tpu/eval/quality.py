@@ -106,6 +106,13 @@ def free_running_report(
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
     per_pos_nll = -jnp.take_along_axis(logp, truth[:, None, :], axis=1)
     free_nll = float(jnp.mean(per_pos_nll))
+    # short-horizon NLL: ground truth is only a valid conditional target
+    # until the rollout's waveform phase decorrelates (~one pitch period;
+    # measured: per-position NLL starts at ~teacher_nll and oscillates
+    # 4<->20 nats with the pitch period thereafter — docs/BASELINE.md
+    # "rollout divergence"), so the first ~64 samples are the comparable
+    # model-health number; the long-horizon signal is spectral_l2
+    free_nll_early = float(jnp.mean(per_pos_nll[..., : min(64, n)]))
     curve = None
     if nll_buckets > 0:
         seg = np.array_split(np.asarray(per_pos_nll).mean(axis=(0, 1)),
@@ -131,6 +138,7 @@ def free_running_report(
 
     rep = {
         "free_nll": free_nll,
+        "free_nll_early": free_nll_early,
         "teacher_nll": teacher_nll,
         "spectral_l2": spectral,
         "spectral_l2_vs_silence": silence,
@@ -178,7 +186,8 @@ def divergence_report(
         )
         key = "greedy" if t == 0.0 else f"{t:g}"
         out["temperatures"][key] = {
-            k: rep[k] for k in ("free_nll", "spectral_l2", "free_nll_curve")
+            k: rep[k] for k in ("free_nll", "free_nll_early", "spectral_l2",
+                                "free_nll_curve")
         }
         out["teacher_nll"] = rep["teacher_nll"]
         out["spectral_l2_vs_silence"] = rep["spectral_l2_vs_silence"]

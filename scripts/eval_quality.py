@@ -82,7 +82,7 @@ def main(argv=None) -> int:
         rec = {
             "step": step, "clip": ci,
             **{k: round(float(v), 4) for k, v in rep.items()
-               if k in ("free_nll", "teacher_nll", "spectral_l2",
+               if k in ("free_nll", "free_nll_early", "teacher_nll", "spectral_l2",
                         "spectral_l2_vs_silence")},
             "n_scored": int(rep["n_scored"]),
         }

@@ -127,7 +127,7 @@ def main() -> int:
             ch.params, ch.bn_state, ch.cfg, jnp.asarray(q_wav), q_spk,
             jax.random.PRNGKey(0), n_samples=a.quality_samples)
         q = {k: round(float(rep[k]), 4) for k in
-             ("free_nll", "teacher_nll", "spectral_l2",
+             ("free_nll", "free_nll_early", "teacher_nll", "spectral_l2",
               "spectral_l2_vs_silence")}
         q["clip"] = ci
         q["n_scored"] = int(rep["n_scored"])
