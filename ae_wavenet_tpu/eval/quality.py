@@ -85,22 +85,35 @@ def free_running_report(
 
     Returns the metrics dict plus the generated ids/start offset.
     """
+    prep = _prime(params, bn_state, cfg, wav_i16, spk, rng, n_samples,
+                  encode_fn)
+    rep = _score_rollout(prep, params, cfg, wav_i16, spk, temperature,
+                         nll_buckets)
+    rep.update(_teacher_and_silence(prep, params, cfg, wav_i16, spk))
+    return rep
+
+
+def _prime(params, bn_state, cfg, wav_i16, spk, rng, n_samples, encode_fn):
+    """Encode + prime the fast queues (temperature-invariant; the expensive
+    part shared across a divergence sweep).  Lattice single-sourced in
+    models/common.prime_for_generation (shared with reconstruct())."""
     if encode_fn is None:
         from ae_wavenet_tpu.models import autoencoder as ae
         encode_fn = ae.encode
-
-    # encode/prime/alignment lattice is single-sourced in
-    # models/common.prime_for_generation (shared with reconstruct())
-    prep = common.prime_for_generation(
+    return common.prime_for_generation(
         encode_fn, params, bn_state, cfg, wav_i16, spk,
         jax.random.PRNGKey(0) if rng is None else rng, n_samples)
+
+
+def _score_rollout(prep, params, cfg, wav_i16, spk, temperature,
+                   nll_buckets):
+    """One rollout at ``temperature`` + its scores (per-temperature part)."""
     wcfg = cfg.wavenet
-    rf, n, ids, cond = prep.rf, prep.n, prep.ids, prep.cond
+    n, ids = prep.n, prep.ids
     gen_ids, _, logits = fastgen.generate(
         params["wavenet"], wcfg, prep.state, prep.gen_cond, prep.rng_g,
         gc_ids=spk, temperature=temperature, return_logits=True,
     )
-
     start = prep.start
     truth = ids[..., start : start + n]                    # [B, n]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
@@ -109,39 +122,24 @@ def free_running_report(
     # short-horizon NLL: ground truth is only a valid conditional target
     # until the rollout's waveform phase decorrelates (~one pitch period;
     # measured: per-position NLL starts at ~teacher_nll and oscillates
-    # 4<->20 nats with the pitch period thereafter — docs/BASELINE.md
-    # "rollout divergence"), so the first ~64 samples are the comparable
+    # 4<->20 nats with the pitch period thereafter — BASELINE.md "rollout
+    # divergence"), so the first ~64 samples are the comparable
     # model-health number; the long-horizon signal is spectral_l2
     free_nll_early = float(jnp.mean(per_pos_nll[..., : min(64, n)]))
     curve = None
     if nll_buckets > 0:
+        # never more buckets than positions (empty segments mean() to NaN,
+        # which json.dumps would emit as a non-standard token)
         seg = np.array_split(np.asarray(per_pos_nll).mean(axis=(0, 1)),
-                             nll_buckets)
+                             min(nll_buckets, n))
         curve = [round(float(s.mean()), 4) for s in seg]
-
-    # teacher-forced NLL at the SAME positions (the non-compounding bound):
-    # feed the real past, score the same targets
-    t_in = rf + n
-    x_ids = ids[..., start - 1 - rf : start - 1 - rf + t_in]
-    tf_logits = wn.apply(params["wavenet"], wcfg,
-                         x_ids, cond[..., : t_in], spk)
-    tf_logp = jax.nn.log_softmax(tf_logits.astype(jnp.float32), axis=1)
-    teacher_nll = float(jnp.mean(
-        -jnp.take_along_axis(tf_logp, truth[:, None, :], axis=1)))
 
     recon = np.asarray(mu_decode(gen_ids, wcfg.n_quant))
     src = np.asarray(int16_to_float(wav_i16))[..., start : start + n]
-    spectral = log_mel_distance(recon, src, cfg.spec)
-    # scale reference: distance of the source to silence (a reconstruction
-    # must beat this to carry any signal content at all)
-    silence = log_mel_distance(np.zeros_like(src), src, cfg.spec)
-
     rep = {
         "free_nll": free_nll,
         "free_nll_early": free_nll_early,
-        "teacher_nll": teacher_nll,
-        "spectral_l2": spectral,
-        "spectral_l2_vs_silence": silence,
+        "spectral_l2": log_mel_distance(recon, src, cfg.spec),
         "temperature": temperature,
         "n_scored": n,
         "ids": gen_ids,
@@ -150,6 +148,27 @@ def free_running_report(
     if curve is not None:
         rep["free_nll_curve"] = curve
     return rep
+
+
+def _teacher_and_silence(prep, params, cfg, wav_i16, spk):
+    """Teacher-forced NLL at the same positions (the non-compounding bound:
+    feed the real past, score the same targets) + the silence-distance scale
+    reference.  Temperature-invariant."""
+    wcfg = cfg.wavenet
+    rf, n, ids, cond, start = prep.rf, prep.n, prep.ids, prep.cond, prep.start
+    truth = ids[..., start : start + n]
+    t_in = rf + n
+    x_ids = ids[..., start - 1 - rf : start - 1 - rf + t_in]
+    tf_logits = wn.apply(params["wavenet"], wcfg,
+                         x_ids, cond[..., : t_in], spk)
+    tf_logp = jax.nn.log_softmax(tf_logits.astype(jnp.float32), axis=1)
+    teacher_nll = float(jnp.mean(
+        -jnp.take_along_axis(tf_logp, truth[:, None, :], axis=1)))
+    # scale reference: distance of the source to silence (a reconstruction
+    # must beat this to carry any signal content at all)
+    src = np.asarray(int16_to_float(wav_i16))[..., start : start + n]
+    silence = log_mel_distance(np.zeros_like(src), src, cfg.spec)
+    return {"teacher_nll": teacher_nll, "spectral_l2_vs_silence": silence}
 
 
 def divergence_report(
@@ -177,19 +196,19 @@ def divergence_report(
     * flat-high from bucket 0 -> the model itself is off-manifold
       (undertraining / conditioning failure)
     """
-    out = {"temperatures": {}}
+    # prime + teacher-force + silence scale ONCE (temperature-invariant);
+    # only the rollout + its scoring re-run per temperature
+    prep = _prime(params, bn_state, cfg, wav_i16, spk, rng, n_samples,
+                  encode_fn)
+    out = {"temperatures": {}, "n_scored": prep.n,
+           **_teacher_and_silence(prep, params, cfg, wav_i16, spk)}
     for t in temperatures:
-        rep = free_running_report(
-            params, bn_state, cfg, wav_i16, spk, rng,
-            n_samples=n_samples, encode_fn=encode_fn, temperature=t,
-            nll_buckets=nll_buckets,
-        )
+        rep = _score_rollout(prep, params, cfg, wav_i16, spk, t,
+                             nll_buckets)
         key = "greedy" if t == 0.0 else f"{t:g}"
         out["temperatures"][key] = {
             k: rep[k] for k in ("free_nll", "free_nll_early", "spectral_l2",
                                 "free_nll_curve")
+            if k in rep
         }
-        out["teacher_nll"] = rep["teacher_nll"]
-        out["spectral_l2_vs_silence"] = rep["spectral_l2_vs_silence"]
-        out["n_scored"] = rep["n_scored"]
     return out

@@ -265,6 +265,21 @@ class Chassis:
         if self._saver is not None:
             self._saver.wait()
 
+    def close(self) -> None:
+        """Drain pending saves and release the AsyncCheckpointer's
+        background threads.  Safe to call repeatedly; scripts that build
+        several Chassis objects in one process (diag twins, test suites)
+        should call it when done with each."""
+        if self._saver is not None:
+            self._saver.close()
+            self._saver = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def resume(self, step: int | None = None) -> int:
         step, tree, _cfg = ckpt_mod.load(self.ckpt_dir, step)
         # restore array types/shardings by matching the initialized pytrees

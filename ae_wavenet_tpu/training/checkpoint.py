@@ -38,13 +38,28 @@ def _step_path(ckpt_dir: str, step: int) -> str:
     return os.path.abspath(os.path.join(ckpt_dir, f"step_{step:08d}"))
 
 
+def _atomic_write(path: str, text: str) -> None:
+    """tmp + rename so a crash mid-write never leaves a partial file —
+    `latest_step` treats sidecar existence as completeness, which is only
+    sound if existence implies fully-written."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def _write_sidecars(ckpt_dir: str, path: str, step: int,
                     cfg: config_mod.RunConfig) -> None:
     if jax.process_index() == 0:
-        with open(os.path.join(path, "run_config.json"), "w") as f:
-            f.write(config_mod.to_json(cfg))
-        with open(os.path.join(ckpt_dir, "LATEST"), "w") as f:
-            f.write(str(step))
+        # config first, LATEST last: a crash between the two leaves a
+        # loadable step that LATEST doesn't point to yet — resume falls
+        # back to the pointed (older, also complete) step, never forward
+        # onto anything partial
+        _atomic_write(os.path.join(path, "run_config.json"),
+                      config_mod.to_json(cfg))
+        _atomic_write(os.path.join(ckpt_dir, "LATEST"), str(step))
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
@@ -102,28 +117,35 @@ def save(ckpt_dir: str, step: int, tree: dict, cfg: config_mod.RunConfig) -> str
 
 
 def latest_step(ckpt_dir: str) -> int | None:
-    """Newest LOADABLE step.
+    """The step resume should pick.
 
-    A step is loadable when its directory is committed (Orbax keeps
-    uncommitted writes in tmp-suffixed dirs the regex skips) AND its config
-    sidecar exists — a crash between the async commit and the finalizer
-    leaves arrays without a sidecar, and resume must fall back to the
-    previous complete save rather than die on the newest dir."""
+    Preference order:
+    1. The LATEST pointer, if it names a loadable step — the pointer records
+       intent: after an explicit rollback-resume (``--step`` older than a
+       later abandoned save) it must win over max(dirs), or resume would
+       silently jump forward onto the abandoned checkpoint.
+    2. Otherwise the newest LOADABLE step directory — covers a stale/absent
+       pointer (crash between the async commit's sidecar and LATEST writes).
+
+    Loadable = committed dir (Orbax keeps uncommitted writes in tmp-suffixed
+    dirs the regex skips) + config sidecar present (written atomically, so
+    existence implies complete)."""
     if not os.path.isdir(ckpt_dir):
         return None
-    complete = [
+    complete = {
         int(m.group(1))
         for d in os.listdir(ckpt_dir)
         if (m := re.fullmatch(r"step_(\d+)", d))
         and os.path.exists(os.path.join(ckpt_dir, d, "run_config.json"))
-    ]
-    if complete:
-        return max(complete)
+    }
     try:
         with open(os.path.join(ckpt_dir, "LATEST")) as f:
-            return int(f.read().strip())
+            pointed = int(f.read().strip())
     except (FileNotFoundError, ValueError):
-        return None
+        pointed = None
+    if pointed is not None and (pointed in complete or not complete):
+        return pointed
+    return max(complete) if complete else None
 
 
 def load(ckpt_dir: str, step: int | None = None):

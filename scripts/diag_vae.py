@@ -90,6 +90,7 @@ def main() -> int:
         ch = Chassis(cfg, prefix, ckpt_dir=None, log_stream=sys.stdout)
         hist = ch.train(a.steps)
         ev = ch.evaluate()
+        ch.close()
         rec = {"kind": kind, "steps": a.steps,
                "final_eval_recon_ce": round(float(ev["recon_ce"]), 4)}
         if kind == "vae":

@@ -137,13 +137,28 @@ def main() -> int:
         print(json.dumps(rec), flush=True)
         log_f.write(json.dumps(rec) + "\n")
 
+    k = max(1, cfg.train.steps_per_call)
+    if a.quality_every > 0 and (a.quality_every % k or a.steps % k):
+        # fail BEFORE training: Chassis.train validates per block, so a bad
+        # tail block would otherwise raise after hours of TPU time and lose
+        # the final save/probe
+        raise SystemExit(
+            f"--quality-every {a.quality_every} and --steps {a.steps} must "
+            f"both be multiples of --steps-per-call {k}")
     t0 = time.time()
+    preempted = False
     if a.quality_every > 0:
         # quality-vs-steps curve: train in blocks, probe between them
         while ch.step < a.steps:
+            before = ch.step
             n = min(a.quality_every, a.steps - ch.step)
             ch.train(n, eval_every=a.eval_every)
             quality_probe()
+            if ch.step < before + n:
+                # Chassis.train saved + returned early on SIGTERM/SIGINT;
+                # looping again would swallow the preemption
+                preempted = True
+                break
     else:
         ch.train(a.steps - ch.step, eval_every=a.eval_every)
     wall = time.time() - t0
@@ -154,9 +169,11 @@ def main() -> int:
         quality_probe(wall_s=wall)
     else:
         log_f.write(json.dumps({"step": ch.step, "wall_s": round(wall, 1),
-                                "done": True}) + "\n")
+                                "done": not preempted,
+                                "preempted": preempted}) + "\n")
+    ch.close()
     log_f.close()
-    return 0
+    return 1 if preempted else 0
 
 
 if __name__ == "__main__":

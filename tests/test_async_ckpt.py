@@ -105,3 +105,20 @@ def test_chassis_async_periodic_saves_resume(tmp_path):
     assert ch2.resume() == 6
     for a, b in zip(jax.tree.leaves(ch.params), jax.tree.leaves(ch2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_latest_pointer_wins_over_newer_dir(tmp_path):
+    """Rollback-resume semantics: after an intentional resume from an older
+    step (LATEST repointed by its save), a later abandoned checkpoint dir
+    must NOT be silently selected."""
+    cfg = tiny_config()
+    d = str(tmp_path / "ck")
+    ckpt_mod.save(d, 100, _tree(1.0), cfg)   # the abandoned diverged run
+    ckpt_mod.save(d, 60, _tree(2.0), cfg)    # rollback save repoints LATEST
+    assert ckpt_mod.latest_step(d) == 60
+    step, tree, _ = ckpt_mod.load(d)
+    assert step == 60
+    # stale pointer (names a deleted step) -> newest loadable dir
+    import shutil
+    shutil.rmtree(tmp_path / "ck" / "step_00000060")
+    assert ckpt_mod.latest_step(d) == 100
