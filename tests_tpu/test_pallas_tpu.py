@@ -345,3 +345,50 @@ def test_compiled_gated_stack_grads():
     assert np.isfinite(fp).all()
     scale = np.abs(fx).max() + 1e-9
     assert np.abs(fp - fx).max() / scale < 0.05, np.abs(fp - fx).max()
+
+
+def test_compiled_full_fusion_and_grouped_bwd_matches_xla():
+    """Compiled whole-stack forward fusion + grouped backward (the round-3
+    opt-in schedules, interpret-tested in tests/test_gated_pallas.py) vs the
+    XLA oracle on real TPU — forward and grads.  Gates the BENCH_FULL_FUSION
+    / BENCH_BWD_GROUP A/Bs in scripts/tpu_queue_r4.sh."""
+    from ae_wavenet_tpu.ops import gated_pallas as gp
+
+    cfg = CFG
+    t_out, batch = 4000, 4
+    t_in = t_out + RF
+    params = wavenet.init(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(7)
+    x_ids = jnp.asarray(rng.integers(0, cfg.n_quant, (batch, t_in)), jnp.int32)
+    cond = jnp.asarray(rng.normal(size=(batch, cfg.n_lc_out, t_in)) * 0.5,
+                       jnp.float32)
+    spk = jnp.asarray(rng.integers(0, cfg.n_speakers, (batch,)), jnp.int32)
+    probe = jnp.asarray(rng.normal(size=(batch, cfg.n_quant, t_out)) * 0.1,
+                        jnp.float32)
+
+    ref = wavenet.apply(params, cfg, x_ids, cond, spk, dtype=jnp.bfloat16)
+    got = gp.stack_apply(params, cfg, x_ids, cond, spk, tile=1024,
+                         full_fusion=True, bwd_group=5)
+    d = np.abs(np.asarray(ref, np.float32) - np.asarray(got, np.float32))
+    assert d.max() < 0.05, d.max()
+
+    def loss_xla(p, c):
+        out = wavenet.apply(p, cfg, x_ids, c, spk, dtype=jnp.bfloat16)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    def loss_pal(p, c):
+        out = gp.stack_apply(p, cfg, x_ids, c, spk, tile=1024,
+                             full_fusion=True, bwd_group=5)
+        return jnp.mean(out.astype(jnp.float32) * probe)
+
+    gx = jax.jit(jax.grad(loss_xla, argnums=(0, 1)))(params, cond)
+    gpl = jax.jit(jax.grad(loss_pal, argnums=(0, 1)))(params, cond)
+
+    def flat(t):
+        return np.concatenate(
+            [np.asarray(x, np.float32).ravel() for x in jax.tree.leaves(t)])
+
+    fx, fp = flat(gx), flat(gpl)
+    assert np.isfinite(fp).all()
+    scale = np.abs(fx).max() + 1e-9
+    assert np.abs(fp - fx).max() / scale < 0.05, np.abs(fp - fx).max() / scale
