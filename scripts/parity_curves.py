@@ -76,6 +76,65 @@ def run(label: str, cfg) -> dict:
     return out
 
 
+def run_vae(label: str, cfg) -> dict:
+    """VAE parity runs the DETERMINISTIC objective (train=False latent path:
+    zq = mu — the reparameterization eps is JAX RNG the mirror cannot
+    follow — with the full KL free-bits/annealing term), so the JAX side is
+    a direct optax loop rather than the Chassis."""
+    import functools
+
+    import jax.numpy as jnp
+    import optax
+
+    from ae_wavenet_tpu.models import autoencoder as ae
+
+    spec = ae.make_window_spec(cfg)
+    ds = PackedDataset(prefix)
+    sampler = WindowSampler(ds, spec.u_len, cfg.train.batch_sz,
+                            cfg.train.seed)
+    params, bn_state = ae.init(jax.random.PRNGKey(cfg.train.seed + 1), cfg)
+    init_params = jax.tree.map(lambda x: np.array(x), params)
+
+    t = cfg.train
+    opt = optax.adam(t.learning_rate, b1=t.adam_b1, b2=t.adam_b2,
+                     eps=t.adam_eps)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step_fn(params, opt_state, wav, spk, step):
+        def lf(p):
+            total, (_, m) = ae.loss_fn(
+                p, bn_state, cfg, spec, wav, spk, jax.random.PRNGKey(9),
+                step, train=False)
+            return total, m
+        (total, m), grads = jax.value_and_grad(lf, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, m
+
+    jax_ce = []
+    for s in range(STEPS):
+        wav, spk = sampler.batch_at(s)
+        params, opt_state, m = step_fn(params, opt_state, jnp.asarray(wav),
+                                       jnp.asarray(spk), jnp.int32(s))
+        jax_ce.append(float(m["recon_ce"]))
+
+    torch_ce = tm.train_curve(cfg, spec, init_params, sampler, STEPS)
+    diffs = [abs(a - b) for a, b in zip(jax_ce, torch_ce)]
+    out = {
+        "config": label,
+        "steps": STEPS,
+        "learning_rate": cfg.train.learning_rate,
+        "jax_ce": [round(v, 5) for v in jax_ce],
+        "torch_ce": [round(v, 5) for v in torch_ce],
+        "abs_diff_max": round(max(diffs), 6),
+        "abs_diff_mean": round(sum(diffs) / len(diffs), 6),
+        "abs_diff_max_first_50": round(max(diffs[:50]), 6),
+    }
+    print(json.dumps({k: v for k, v in out.items()
+                      if not isinstance(v, list)}, indent=1), flush=True)
+    return out
+
+
 cfg_ae = tiny_config()
 cfg_ae = dc.replace(cfg_ae, train=dc.replace(cfg_ae.train, n_steps=STEPS,
                                              log_every=1, learning_rate=1e-3))
@@ -85,9 +144,16 @@ cfg_vq = dc.replace(
                                 vq_restart_thresh=0.0, vq_warmup_steps=50),
     train=dc.replace(cfg_ae.train, aux_frame_weight=1.0),
 )
+cfg_vae = dc.replace(
+    cfg_ae,
+    bottleneck=BottleneckConfig(kind="vae", n_dim=16, free_nats=0.1,
+                                kl_anneal_steps=50),
+    train=dc.replace(cfg_ae.train, aux_frame_weight=1.0),
+)
 
 results = [run("tiny plain-AE (BASELINE config 1)", cfg_ae),
-           run("tiny VQ-EMA + aux head (deterministic twin)", cfg_vq)]
+           run("tiny VQ-EMA + aux head (deterministic twin)", cfg_vq),
+           run_vae("tiny VAE + aux head (deterministic twin)", cfg_vae)]
 
 os.makedirs("docs", exist_ok=True)
 with open("docs/parity_curves.json", "w") as f:
