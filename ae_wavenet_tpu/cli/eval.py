@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 
 def main(argv=None) -> int:
@@ -44,8 +43,9 @@ def main(argv=None) -> int:
 
     # resume through the chassis so the eval step, holdout split, and
     # restore guards are EXACTLY the training ones (config comes from the
-    # checkpoint — the two-phase contract)
-    step0, _tree, cfg = ckpt_mod.load(a.ckpt_dir, a.step)
+    # checkpoint — the two-phase contract); config-only read here, the one
+    # array restore happens inside resume()
+    _, cfg = ckpt_mod.load_config(a.ckpt_dir, a.step)
     import io
 
     ch = Chassis(cfg, a.data, ckpt_dir=a.ckpt_dir, log_stream=io.StringIO())

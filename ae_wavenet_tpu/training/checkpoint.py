@@ -148,6 +148,18 @@ def latest_step(ckpt_dir: str) -> int | None:
     return max(complete) if complete else None
 
 
+def load_config(ckpt_dir: str, step: int | None = None):
+    """-> (step, cfg) from the sidecar alone — no array restore.  For
+    callers that rebuild/restore through another path (e.g. cli.eval goes
+    through Chassis.resume) and only need the embedded config first."""
+    if step is None:
+        step = latest_step(ckpt_dir)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    with open(os.path.join(_step_path(ckpt_dir, step), "run_config.json")) as f:
+        return step, config_mod.from_json(f.read())
+
+
 def load(ckpt_dir: str, step: int | None = None):
     """-> (step, tree, cfg).  ``step`` defaults to the latest."""
     if step is None:

@@ -77,47 +77,17 @@ def run(label: str, cfg) -> dict:
 
 
 def run_vae(label: str, cfg) -> dict:
-    """VAE parity runs the DETERMINISTIC objective (train=False latent path:
-    zq = mu — the reparameterization eps is JAX RNG the mirror cannot
-    follow — with the full KL free-bits/annealing term), so the JAX side is
-    a direct optax loop rather than the Chassis."""
-    import functools
-
-    import jax.numpy as jnp
-    import optax
-
+    """VAE parity runs the DETERMINISTIC objective (see
+    scripts/parity_common.det_vae_jax_curve), so the JAX side is a direct
+    optax loop rather than the Chassis."""
     from ae_wavenet_tpu.models import autoencoder as ae
+    from scripts.parity_common import det_vae_jax_curve
 
     spec = ae.make_window_spec(cfg)
     ds = PackedDataset(prefix)
     sampler = WindowSampler(ds, spec.u_len, cfg.train.batch_sz,
                             cfg.train.seed)
-    params, bn_state = ae.init(jax.random.PRNGKey(cfg.train.seed + 1), cfg)
-    init_params = jax.tree.map(lambda x: np.array(x), params)
-
-    t = cfg.train
-    opt = optax.adam(t.learning_rate, b1=t.adam_b1, b2=t.adam_b2,
-                     eps=t.adam_eps)
-    opt_state = opt.init(params)
-
-    @jax.jit
-    def step_fn(params, opt_state, wav, spk, step):
-        def lf(p):
-            total, (_, m) = ae.loss_fn(
-                p, bn_state, cfg, spec, wav, spk, jax.random.PRNGKey(9),
-                step, train=False)
-            return total, m
-        (total, m), grads = jax.value_and_grad(lf, has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, m
-
-    jax_ce = []
-    for s in range(STEPS):
-        wav, spk = sampler.batch_at(s)
-        params, opt_state, m = step_fn(params, opt_state, jnp.asarray(wav),
-                                       jnp.asarray(spk), jnp.int32(s))
-        jax_ce.append(float(m["recon_ce"]))
-
+    jax_ce, init_params = det_vae_jax_curve(cfg, spec, sampler, STEPS)
     torch_ce = tm.train_curve(cfg, spec, init_params, sampler, STEPS)
     diffs = [abs(a - b) for a, b in zip(jax_ce, torch_ce)]
     out = {
