@@ -116,10 +116,18 @@ def main() -> int:
 
     ds = PackedDataset(prefix)
     hold = [i for i in range(len(ds)) if i % 5 == 0]
-    ci = hold[0]
-    o, l = int(ds.offsets[ci]), int(ds.lengths[ci])
-    q_wav = np.asarray(ds.data[o : o + min(l, 64000)])[None, :]
-    q_spk = jnp.asarray(ds.speakers[ci : ci + 1])
+    # batch several holdout clips into ONE rollout: the free-running metrics
+    # on a single clip are high-variance (measured: spectral_l2 oscillated
+    # 21<->48 across probes of a tiny run whose teacher CE fell
+    # monotonically); a 4-clip batch quarters that variance at ~the same
+    # wall time (the sampler is batched)
+    clips = hold[:4]
+    t_common = min(min(int(ds.lengths[c]) for c in clips), 64000)
+    q_wav = np.stack([
+        np.asarray(ds.data[int(ds.offsets[c]) : int(ds.offsets[c]) + t_common])
+        for c in clips
+    ])
+    q_spk = jnp.asarray(np.asarray(ds.speakers)[clips])
 
     def quality_probe(wall_s=None):
         """Free-running quality on the holdout clip at the current params."""
@@ -129,7 +137,7 @@ def main() -> int:
         q = {k: round(float(rep[k]), 4) for k in
              ("free_nll", "free_nll_early", "teacher_nll", "spectral_l2",
               "spectral_l2_vs_silence")}
-        q["clip"] = ci
+        q["clips"] = clips
         q["n_scored"] = int(rep["n_scored"])
         rec = {"quality_holdout": q, "step": ch.step}
         if wall_s is not None:
