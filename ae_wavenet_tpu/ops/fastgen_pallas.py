@@ -160,17 +160,47 @@ def flat_to_state(flat: jax.Array, prev_id: jax.Array, t: jax.Array,
     return GenState(tuple(bufs), prev_id, t)
 
 
-def supports_fused(cfg: WaveNetConfig, batch: int) -> bool:
-    """The compiled kernel wants MXU/VPU-friendly dims (the interpret path
-    has no such constraints)."""
+def supports_fused_dims(cfg: WaveNetConfig) -> bool:
+    """Channel-dim constraints of the compiled kernel (MXU/VPU tiling).
+    Batch is NOT checked here — :func:`generate_auto` pads any batch up to
+    the sublane multiple, so dims alone decide fused-path eligibility."""
     return (
-        batch % 8 == 0
-        and cfg.n_res % 128 == 0
+        cfg.n_res % 128 == 0
         and cfg.n_dil % 128 == 0
         and cfg.n_skp % 128 == 0
         and cfg.n_post % 128 == 0
         and cfg.n_quant % 128 == 0
         and cfg.filter_sz == 2
+    )
+
+
+def supports_fused(cfg: WaveNetConfig, batch: int) -> bool:
+    """Whether (cfg, batch) can run the fused kernel DIRECTLY (no batch
+    padding).  ``generate_auto`` serves any batch when
+    :func:`supports_fused_dims` holds, by padding to a multiple of 8."""
+    return batch % 8 == 0 and supports_fused_dims(cfg)
+
+
+def _pad_gen_batch(state: GenState, cond, gc_ids, pad: int):
+    """Pad batch-leading generation inputs with ``pad`` dummy rows.  Rows
+    are independent throughout the AR cell (batch is a pure leading dim in
+    every matmul), so dummy rows cannot perturb real rows' outputs."""
+    state_p = GenState(
+        bufs=tuple(jnp.pad(b, ((0, pad), (0, 0), (0, 0))) for b in state.bufs),
+        prev_id=jnp.pad(state.prev_id, (0, pad), constant_values=128),
+        t=state.t,
+    )
+    cond_p = jnp.pad(cond, ((0, pad), (0, 0), (0, 0)))
+    gc_p = None if gc_ids is None else jnp.pad(gc_ids, (0, pad))
+    return state_p, cond_p, gc_p
+
+
+def _unpad_gen_batch(ids, state: GenState, batch: int):
+    """Drop dummy rows added by :func:`_pad_gen_batch`."""
+    return ids[:batch], GenState(
+        bufs=tuple(b[:batch] for b in state.bufs),
+        prev_id=state.prev_id[:batch],
+        t=state.t,
     )
 
 
@@ -208,7 +238,7 @@ def generate_auto(params, cfg: WaveNetConfig, state: GenState, cond, rng,
 
     batch = cond.shape[0]
     on_tpu = jax.devices()[0].platform == "tpu"
-    if not (on_tpu and supports_fused(cfg, batch)):
+    if not (on_tpu and supports_fused_dims(cfg)):
         if quantized:
             # the scan path has no int8 weight streaming; silently emitting
             # full-precision output would misreport what --int8 produced
@@ -217,8 +247,8 @@ def generate_auto(params, cfg: WaveNetConfig, state: GenState, cond, rng,
             warnings.warn(
                 "quantized=True requested but the fused Pallas path is "
                 "unavailable (platform="
-                f"{jax.devices()[0].platform}, supports_fused="
-                f"{supports_fused(cfg, batch)}); falling back to the "
+                f"{jax.devices()[0].platform}, supports_fused_dims="
+                f"{supports_fused_dims(cfg)}); falling back to the "
                 "full-precision lax.scan sampler",
                 stacklevel=2,
             )
@@ -227,8 +257,16 @@ def generate_auto(params, cfg: WaveNetConfig, state: GenState, cond, rng,
             temperature=temperature,
             dtype=dtype if dtype is not None else jnp.float32,
         )
-    return _fused_pipeline(params, cfg, state, cond, rng, gc_ids,
-                           temperature, quantized)
+    pad = (-batch) % 8
+    if pad == 0:
+        return _fused_pipeline(params, cfg, state, cond, rng, gc_ids,
+                               temperature, quantized)
+    # kernel needs batch % 8 == 0 (sublane tiling): pad with dummy rows
+    # (independent per-row AR — cannot affect real rows), slice back after
+    state_p, cond_p, gc_p = _pad_gen_batch(state, cond, gc_ids, pad)
+    ids, new_state = _fused_pipeline(params, cfg, state_p, cond_p, rng,
+                                     gc_p, temperature, quantized)
+    return _unpad_gen_batch(ids, new_state, batch)
 
 
 def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,

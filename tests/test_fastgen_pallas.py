@@ -110,3 +110,33 @@ def test_flat_state_roundtrip():
     for a, b in zip(state.bufs, back.bufs):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-2, atol=1e-2)  # bf16 storage
+
+
+def test_pad_gen_batch_roundtrip():
+    """generate_auto pads any batch to a sublane multiple for the fused
+    kernel; padded rows must not leak into (or alter) real rows."""
+    params, ids, cond, spk, state = _setup(seed=3, batch=3)
+    gen_cond = cond[..., RF : RF + 8]
+    state_p, cond_p, gc_p = fp._pad_gen_batch(state, gen_cond, spk, pad=5)
+    assert cond_p.shape[0] == 8 and gc_p.shape[0] == 8
+    for b, bp in zip(state.bufs, state_p.bufs):
+        assert bp.shape[0] == 8
+        np.testing.assert_array_equal(np.asarray(bp[:3]), np.asarray(b))
+        assert float(jnp.abs(bp[3:]).max()) == 0.0
+    np.testing.assert_array_equal(np.asarray(state_p.prev_id[:3]),
+                                  np.asarray(state.prev_id))
+    # dummy prev_id rows get mu-law silence (a valid id)
+    assert set(np.asarray(state_p.prev_id[3:]).tolist()) == {128}
+    fake_ids = jnp.arange(8 * 4, dtype=jnp.int32).reshape(8, 4)
+    ids_u, state_u = fp._unpad_gen_batch(fake_ids, state_p, 3)
+    assert ids_u.shape == (3, 4)
+    assert all(b.shape[0] == 3 for b in state_u.bufs)
+    np.testing.assert_array_equal(np.asarray(state_u.prev_id),
+                                  np.asarray(state.prev_id))
+
+
+def test_pad_gen_batch_no_gc():
+    params, ids, cond, spk, state = _setup(seed=4, batch=1)
+    gen_cond = cond[..., RF : RF + 4]
+    _, cond_p, gc_p = fp._pad_gen_batch(state, gen_cond, None, pad=7)
+    assert gc_p is None and cond_p.shape[0] == 8

@@ -392,3 +392,25 @@ def test_compiled_full_fusion_and_grouped_bwd_matches_xla():
     assert np.isfinite(fp).all()
     scale = np.abs(fx).max() + 1e-9
     assert np.abs(fp - fx).max() / scale < 0.05, np.abs(fp - fx).max() / scale
+
+
+def test_generate_auto_pads_odd_batch(primed):
+    """generate_auto serves batch sizes the kernel can't tile directly
+    (batch % 8 != 0) by padding with dummy rows; greedy output for the
+    real rows must equal the directly-tileable batch-8 run row-for-row
+    (rows are independent in the AR cell)."""
+    params, gen_cond, spk, state = primed
+
+    want, _ = fp.generate_auto(params, CFG, state, gen_cond,
+                               jax.random.PRNGKey(0), gc_ids=spk,
+                               temperature=0.0)
+    for b in (1, 3):
+        sub = fastgen.GenState(
+            bufs=tuple(x[:b] for x in state.bufs),
+            prev_id=state.prev_id[:b], t=state.t)
+        got, new_state = fp.generate_auto(
+            params, CFG, sub, gen_cond[:b], jax.random.PRNGKey(0),
+            gc_ids=spk[:b], temperature=0.0)
+        assert got.shape == (b, want.shape[1])
+        assert all(x.shape[0] == b for x in new_state.bufs)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want[:b]))
