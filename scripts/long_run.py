@@ -37,6 +37,10 @@ def main() -> int:
     ap.add_argument("--data", default=None,
                     help="packed dataset prefix (default: build a 32-clip "
                          "8-speaker synthetic set under --workdir)")
+    ap.add_argument("--clips", type=int, default=32,
+                    help="synthetic fixture size (data-scaling runs; "
+                         "ignored with --data)")
+    ap.add_argument("--speakers", type=int, default=8)
     ap.add_argument("--workdir", default="/tmp/long_run")
     ap.add_argument("--out", default="docs/long_run_r3.jsonl")
     ap.add_argument("--resume", action="store_true")
@@ -61,7 +65,7 @@ def main() -> int:
     os.makedirs(a.workdir, exist_ok=True)
     prefix = a.data
     if prefix is None:
-        prefix = os.path.join(a.workdir, "synth32")
+        prefix = os.path.join(a.workdir, f"synth{a.clips}")
         from ae_wavenet_tpu.data.preprocess import synthetic_fixture_current
         if not synthetic_fixture_current(prefix):
             # maximize fixture realism: many speakers, long clips (verdict
@@ -70,7 +74,8 @@ def main() -> int:
                 make_synthetic_dataset(prefix, n_clips=8, n_speakers=4,
                                        clip_len=(14000, 20000), seed=11)
             else:
-                make_synthetic_dataset(prefix, n_clips=32, n_speakers=8,
+                make_synthetic_dataset(prefix, n_clips=a.clips,
+                                       n_speakers=a.speakers,
                                        clip_len=(120_000, 240_000), seed=11)
 
     if a.tiny:
