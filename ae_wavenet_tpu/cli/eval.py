@@ -34,9 +34,7 @@ def main(argv=None) -> int:
     p.add_argument("--json", default=None, help="append records here")
     a = p.parse_args(argv)
 
-    import numpy as np
     import jax
-    import jax.numpy as jnp
 
     from ae_wavenet_tpu.training.chassis import Chassis
     from ae_wavenet_tpu.training import checkpoint as ckpt_mod
@@ -61,24 +59,17 @@ def main(argv=None) -> int:
 
     if a.quality:
         from ae_wavenet_tpu.data.dataset import PackedDataset
-        from ae_wavenet_tpu.eval.quality import free_running_report
+        from ae_wavenet_tpu.eval.quality import clip_quality_record
         from ae_wavenet_tpu.models import registry
 
         model = registry.get(cfg.model_kind)
         ds = PackedDataset(a.data)
         for ci in (int(x) for x in a.quality_clips.split(",") if x):
-            o, l = int(ds.offsets[ci]), int(ds.lengths[ci])
-            wav = np.asarray(ds.data[o : o + min(l, a.max_input)])[None, :]
-            spk = jnp.asarray(ds.speakers[ci : ci + 1])
-            rep = free_running_report(
-                ch.params, ch.bn_state, cfg, jnp.asarray(wav), spk,
+            qrec = clip_quality_record(
+                ch.params, ch.bn_state, cfg, ds, ci,
                 jax.random.PRNGKey(a.seed), n_samples=a.quality_samples,
-                encode_fn=getattr(model, "encode", None))
-            qrec = {"step": step, "clip": ci,
-                    **{k: round(float(rep[k]), 4) for k in
-                       ("free_nll", "free_nll_early", "teacher_nll",
-                        "spectral_l2", "spectral_l2_vs_silence")},
-                    "n_scored": int(rep["n_scored"])}
+                max_input=a.max_input,
+                encode_fn=getattr(model, "encode", None), step=step)
             records.append(qrec)
             print(json.dumps(qrec), flush=True)
 

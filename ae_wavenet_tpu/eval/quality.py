@@ -93,6 +93,32 @@ def free_running_report(
     return rep
 
 
+#: the JSON-reported scalar metrics of a quality record, in report order
+QUALITY_KEYS = ("free_nll", "free_nll_early", "teacher_nll", "spectral_l2",
+                "spectral_l2_vs_silence")
+
+
+def clip_quality_record(params, bn_state, cfg, ds, clip: int, rng, *,
+                        n_samples: int = 16000, max_input: int = 64000,
+                        encode_fn=None, step: int | None = None) -> dict:
+    """One dataset clip -> the JSON-ready free-running quality record.
+
+    The single source of the record schema (clip slicing, metric selection,
+    rounding) shared by ``cli.eval`` and ``scripts/eval_quality`` — so a
+    metric added to :func:`free_running_report` reaches every reporting
+    surface at once instead of drifting between hand-copied loops."""
+    o, ln = int(ds.offsets[clip]), int(ds.lengths[clip])
+    wav = np.asarray(ds.data[o : o + min(ln, max_input)])[None, :]
+    spk = jnp.asarray(ds.speakers[clip : clip + 1])
+    rep = free_running_report(params, bn_state, cfg, jnp.asarray(wav), spk,
+                              rng, n_samples=n_samples, encode_fn=encode_fn)
+    rec: dict = {} if step is None else {"step": step}
+    rec["clip"] = clip
+    rec.update({k: round(float(rep[k]), 4) for k in QUALITY_KEYS})
+    rec["n_scored"] = int(rep["n_scored"])
+    return rec
+
+
 def _prime(params, bn_state, cfg, wav_i16, spk, rng, n_samples, encode_fn):
     """Encode + prime the fast queues (temperature-invariant; the expensive
     part shared across a divergence sweep).  Lattice single-sourced in

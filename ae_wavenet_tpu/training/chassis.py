@@ -172,6 +172,12 @@ class Chassis:
         self.nan_checks = nan_checks
         self.profile_dir = profile_dir
         self.profile_steps = profile_steps if profile_dir else 0
+        # True iff the most recent train() call stopped early on
+        # SIGTERM/SIGINT.  The step-count arithmetic callers used before is
+        # ambiguous when the signal lands during the FINAL block of a
+        # requested range (train() completes the range AND saves) — this
+        # flag is not.
+        self.preempted = False
         from ae_wavenet_tpu.models import registry
         self.model = registry.get(cfg.model_kind)
         self.spec = self.model.make_window_spec(cfg)
@@ -376,6 +382,7 @@ class Chassis:
               eval_every: int = 0) -> list[dict]:
         t_cfg = self.cfg.train
         n_steps = t_cfg.n_steps if n_steps is None else n_steps
+        self.preempted = False
         kk = self.k_steps
         if n_steps % kk:
             raise ValueError(
@@ -481,6 +488,7 @@ class Chassis:
                 if self.ckpt_dir and crossed(t_cfg.ckpt_every, s, self.step):
                     self.save(blocking=False)
                 if stop_requested(s, self.step):
+                    self.preempted = True
                     path = self.save()
                     self.logger.log(self.step,
                                     {"preempted_at": self.step, "saved": path})

@@ -103,8 +103,12 @@ class Saver:
         _write_sidecars(ckpt_dir, path, step, cfg)
 
     def close(self) -> None:
-        self.wait()
-        self._ckptr.close()
+        # close the checkpointer even if the pending wait raises (disk-full
+        # etc.) — otherwise its background worker threads are never joined
+        try:
+            self.wait()
+        finally:
+            self._ckptr.close()
 
 
 def save(ckpt_dir: str, step: int, tree: dict, cfg: config_mod.RunConfig) -> str:
@@ -143,8 +147,12 @@ def latest_step(ckpt_dir: str) -> int | None:
             pointed = int(f.read().strip())
     except (FileNotFoundError, ValueError):
         pointed = None
-    if pointed is not None and (pointed in complete or not complete):
+    if pointed is not None and pointed in complete:
         return pointed
+    # pointer absent, stale, or nothing loadable at all: newest complete dir
+    # (a LATEST naming a pruned/incomplete step must not be returned — the
+    # caller would crash inside Orbax instead of getting the clean
+    # no-checkpoints FileNotFoundError)
     return max(complete) if complete else None
 
 

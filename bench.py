@@ -88,7 +88,13 @@ def _probe_with_retry() -> bool:
 
 def main() -> int:
     if not _probe_with_retry():
-        return 0
+        # rc contract: the DRIVER wants a structured skip with rc=0 (a
+        # tunnel flap must not turn the round's artifact into a raw red);
+        # the self-healing QUEUE scripts want a nonzero rc so their
+        # wait-for-TPU-and-retry loop engages instead of recording the skip
+        # as success.  BENCH_REQUIRE_TPU=1 selects the queue behavior
+        # (75 = EX_TEMPFAIL).
+        return 75 if os.environ.get("BENCH_REQUIRE_TPU") == "1" else 0
     import jax
     import jax.numpy as jnp
 

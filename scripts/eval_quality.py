@@ -43,7 +43,8 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from ae_wavenet_tpu.data.dataset import PackedDataset
-    from ae_wavenet_tpu.eval.quality import divergence_report, free_running_report
+    from ae_wavenet_tpu.eval.quality import (clip_quality_record,
+                                             divergence_report)
     from ae_wavenet_tpu.models import registry
     from ae_wavenet_tpu.training import checkpoint as ckpt_mod
 
@@ -58,10 +59,10 @@ def main(argv=None) -> int:
     ds = PackedDataset(a.data)
     records = []
     for ci in (int(x) for x in a.clips.split(",") if x):
-        o, l = int(ds.offsets[ci]), int(ds.lengths[ci])
-        wav = np.asarray(ds.data[o : o + min(l, a.max_input)])[None, :]
-        spk = jnp.asarray(ds.speakers[ci : ci + 1])
         if a.divergence:
+            o, l = int(ds.offsets[ci]), int(ds.lengths[ci])
+            wav = np.asarray(ds.data[o : o + min(l, a.max_input)])[None, :]
+            spk = jnp.asarray(ds.speakers[ci : ci + 1])
             rep = divergence_report(
                 params, bn_state, cfg, jnp.asarray(wav), spk,
                 jax.random.PRNGKey(a.seed), n_samples=a.n_samples,
@@ -71,21 +72,11 @@ def main(argv=None) -> int:
                 nll_buckets=a.nll_buckets,
             )
             rec = {"step": step, "clip": ci, "divergence": rep}
-            records.append(rec)
-            print(json.dumps(rec), flush=True)
-            continue
-        rep = free_running_report(
-            params, bn_state, cfg, jnp.asarray(wav), spk,
-            jax.random.PRNGKey(a.seed), n_samples=a.n_samples,
-            encode_fn=getattr(model, "encode", None),
-        )
-        rec = {
-            "step": step, "clip": ci,
-            **{k: round(float(v), 4) for k, v in rep.items()
-               if k in ("free_nll", "free_nll_early", "teacher_nll", "spectral_l2",
-                        "spectral_l2_vs_silence")},
-            "n_scored": int(rep["n_scored"]),
-        }
+        else:
+            rec = clip_quality_record(
+                params, bn_state, cfg, ds, ci, jax.random.PRNGKey(a.seed),
+                n_samples=a.n_samples, max_input=a.max_input,
+                encode_fn=getattr(model, "encode", None), step=step)
         records.append(rec)
         print(json.dumps(rec), flush=True)
 

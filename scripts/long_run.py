@@ -163,13 +163,14 @@ def main() -> int:
     if a.quality_every > 0:
         # quality-vs-steps curve: train in blocks, probe between them
         while ch.step < a.steps:
-            before = ch.step
             n = min(a.quality_every, a.steps - ch.step)
             ch.train(n, eval_every=a.eval_every)
             quality_probe()
-            if ch.step < before + n:
-                # Chassis.train saved + returned early on SIGTERM/SIGINT;
-                # looping again would swallow the preemption
+            if ch.preempted:
+                # Chassis.train saved + returned on SIGTERM/SIGINT (the flag
+                # also covers a signal landing in the range's FINAL block,
+                # where the step count alone looks complete); looping again
+                # would swallow the preemption
                 preempted = True
                 break
     else:

@@ -35,11 +35,11 @@ run() { # name timeout cmd...
 
 wait_tpu || exit 1
 run bench_gated      1500 python scripts/bench_gated.py
-run bench_fullfusion 1200 env BENCH_FULL_FUSION=1 BENCH_ITERS=10 python bench.py
-run bench_bg4        1200 env BENCH_BWD_GROUP=4  BENCH_ITERS=10 python bench.py
-run bench_bg5        1200 env BENCH_BWD_GROUP=5  BENCH_ITERS=10 python bench.py
-run bench_bg10       1200 env BENCH_BWD_GROUP=10 BENCH_ITERS=10 python bench.py
-run bench_default    1500 python bench.py
+run bench_fullfusion 1200 env BENCH_FULL_FUSION=1 BENCH_ITERS=10 env BENCH_REQUIRE_TPU=1 python bench.py
+run bench_bg4        1200 env BENCH_BWD_GROUP=4  BENCH_ITERS=10 env BENCH_REQUIRE_TPU=1 python bench.py
+run bench_bg5        1200 env BENCH_BWD_GROUP=5  BENCH_ITERS=10 env BENCH_REQUIRE_TPU=1 python bench.py
+run bench_bg10       1200 env BENCH_BWD_GROUP=10 BENCH_ITERS=10 env BENCH_REQUIRE_TPU=1 python bench.py
+run bench_default    1500 env BENCH_REQUIRE_TPU=1 python bench.py
 run convergence      2400 python scripts/convergence_ab.py --steps 500
 run tests_tpu        3000 python -m pytest tests_tpu/ -q
 note "QUEUE DONE"

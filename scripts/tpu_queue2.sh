@@ -36,11 +36,11 @@ run() { # name timeout cmd...
 
 wait_tpu || exit 1
 # comparable-iters default (the 18:xx A/Bs all ran BENCH_ITERS=10)
-run bench_i10     2400 env BENCH_ITERS=10 python bench.py
+run bench_i10     2400 env BENCH_ITERS=10 env BENCH_REQUIRE_TPU=1 python bench.py
 # isolate the aux-frame-head cost at the same iters
-run bench_aux0    2400 env BENCH_ITERS=10 BENCH_AUX_WEIGHT=0 python bench.py
+run bench_aux0    2400 env BENCH_ITERS=10 BENCH_AUX_WEIGHT=0 env BENCH_REQUIRE_TPU=1 python bench.py
 # headline record (full 20 iters)
-run bench_default 2700 python bench.py
+run bench_default 2700 env BENCH_REQUIRE_TPU=1 python bench.py
 # 500-step XLA-vs-Pallas CE drift bound (VERDICT r2 item 2)
 run convergence   3600 python scripts/convergence_ab.py --steps 500
 # full on-chip gate suite at current HEAD

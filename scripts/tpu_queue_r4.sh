@@ -44,17 +44,17 @@ run() { # name timeout cmd...
 
 wait_tpu || exit 1
 run tests_tpu     5400 python -m pytest tests_tpu/ -q
-run bench_default 2700 python bench.py
-run bench_aux0    2400 env BENCH_AUX_WEIGHT=0 BENCH_ITERS=10 python bench.py
-run bench_aux1    2400 env BENCH_AUX_WEIGHT=1 BENCH_ITERS=10 python bench.py
+run bench_default 2700 env BENCH_REQUIRE_TPU=1 python bench.py
+run bench_aux0    2400 env BENCH_AUX_WEIGHT=0 BENCH_ITERS=10 env BENCH_REQUIRE_TPU=1 python bench.py
+run bench_aux1    2400 env BENCH_AUX_WEIGHT=1 BENCH_ITERS=10 env BENCH_REQUIRE_TPU=1 python bench.py
 # kernel-schedule A/Bs left unmeasured when the round-3 tunnel died:
 # whole-stack forward fusion and grouped backward (flip defaults only if
 # they win; comparable iters=10 like the aux A/B)
 run bench_gated   3600 python scripts/bench_gated.py
-run bench_ff      2400 env BENCH_FULL_FUSION=1 BENCH_ITERS=10 python bench.py
-run bench_bg5     2400 env BENCH_BWD_GROUP=5 BENCH_ITERS=10 python bench.py
-run bench_bg10    2400 env BENCH_BWD_GROUP=10 BENCH_ITERS=10 python bench.py
-run bench_ff_bg5  2400 env BENCH_FULL_FUSION=1 BENCH_BWD_GROUP=5 BENCH_ITERS=10 python bench.py
+run bench_ff      2400 env BENCH_FULL_FUSION=1 BENCH_ITERS=10 env BENCH_REQUIRE_TPU=1 python bench.py
+run bench_bg5     2400 env BENCH_BWD_GROUP=5 BENCH_ITERS=10 env BENCH_REQUIRE_TPU=1 python bench.py
+run bench_bg10    2400 env BENCH_BWD_GROUP=10 BENCH_ITERS=10 env BENCH_REQUIRE_TPU=1 python bench.py
+run bench_ff_bg5  2400 env BENCH_FULL_FUSION=1 BENCH_BWD_GROUP=5 BENCH_ITERS=10 env BENCH_REQUIRE_TPU=1 python bench.py
 # 500-step XLA-vs-Pallas CE drift bound at current HEAD (incl. aux head)
 run convergence   3600 python scripts/convergence_ab.py --steps 500
 # 12k-step flagship in two halves -> on-chip mid-run resume is exercised

@@ -5,6 +5,7 @@
 # Results in /tmp/q4_*.log, progress in /tmp/q4_driver.log.
 set -u
 cd /root/repo
+echo $$ > /tmp/q4b.pid   # part C (tpu_queue_r4c.sh) gates on this
 
 note() { echo "$* ($(date -u +%H:%M:%S))" | tee -a /tmp/q4_driver.log; }
 

@@ -122,3 +122,17 @@ def test_latest_pointer_wins_over_newer_dir(tmp_path):
     import shutil
     shutil.rmtree(tmp_path / "ck" / "step_00000060")
     assert ckpt_mod.latest_step(d) == 100
+
+
+def test_latest_pointer_to_nothing_loadable_returns_none(tmp_path):
+    """A LATEST naming a pruned step, with NO complete step remaining, must
+    yield None (clean no-checkpoints error downstream), not the unloadable
+    pointed step."""
+    cfg = tiny_config()
+    d = str(tmp_path / "ck")
+    ckpt_mod.save(d, 100, _tree(1.0), cfg)
+    import shutil
+    shutil.rmtree(tmp_path / "ck" / "step_00000100")
+    assert ckpt_mod.latest_step(d) is None
+    with pytest.raises(FileNotFoundError):
+        ckpt_mod.load(d)
