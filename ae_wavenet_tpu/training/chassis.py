@@ -242,6 +242,12 @@ class Chassis:
         )
         self.step = 0
         self._saver = None
+        # best-holdout tracking for checkpoint retention: the most recent
+        # holdout recon CE not yet attributed to a save, and the (step, ce)
+        # of the best checkpoint so far (protected from pruning, recorded in
+        # the BEST sidecar)
+        self._unattributed_eval_ce: float | None = None
+        self.best_ckpt: tuple[int, float] | None = None
         init_key = jax.random.PRNGKey(cfg.train.seed + 1)
         self.params, self.bn_state = self.model.init(init_key, cfg)
         self.opt_state = self.optimizer.init(self.params)
@@ -264,8 +270,18 @@ class Chassis:
         }
         if self._saver is None:
             self._saver = ckpt_mod.Saver()
+        # attribute the most recent holdout eval (if any happened since the
+        # last save) to THIS checkpoint: the best checkpoint is the save
+        # immediately following the best holdout eval (attribution staleness
+        # is bounded by ckpt_every - eval_every steps)
+        ce = self._unattributed_eval_ce
+        self._unattributed_eval_ce = None
+        if ce is not None and (self.best_ckpt is None or ce < self.best_ckpt[1]):
+            self.best_ckpt = (self.step, ce)
         return self._saver.save(self.ckpt_dir, self.step, tree, self.cfg,
-                                blocking=blocking)
+                                blocking=blocking,
+                                keep_last=self.cfg.train.ckpt_keep,
+                                best=self.best_ckpt)
 
     def wait_for_saves(self) -> None:
         if self._saver is not None:
@@ -301,6 +317,9 @@ class Chassis:
         self.opt_state = merge(self.opt_state, tree["opt_state"], "opt_state")
         self.bn_state = merge(self.bn_state, tree["bn_state"], "bn_state")
         self.step = step
+        # continue best-holdout tracking across the resume (otherwise the
+        # first post-resume save could prune the pre-resume best checkpoint)
+        self.best_ckpt = ckpt_mod.best_info(self.ckpt_dir)
         return step
 
     # --------------------------------------------------------------- eval
@@ -485,6 +504,8 @@ class Chassis:
                 if eval_every and crossed(eval_every, s, self.step):
                     ev = {f"eval_{k}": v for k, v in self.evaluate().items()}
                     self.logger.log(self.step, ev)
+                    if "eval_recon_ce" in ev:
+                        self._unattributed_eval_ce = float(ev["eval_recon_ce"])
                 if self.ckpt_dir and crossed(t_cfg.ckpt_every, s, self.step):
                     self.save(blocking=False)
                 if stop_requested(s, self.step):

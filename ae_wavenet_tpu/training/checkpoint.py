@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 
 import jax
 import numpy as np
@@ -51,7 +52,8 @@ def _atomic_write(path: str, text: str) -> None:
 
 
 def _write_sidecars(ckpt_dir: str, path: str, step: int,
-                    cfg: config_mod.RunConfig) -> None:
+                    cfg: config_mod.RunConfig,
+                    best: tuple[int, float] | None = None) -> None:
     if jax.process_index() == 0:
         # config first, LATEST last: a crash between the two leaves a
         # loadable step that LATEST doesn't point to yet — resume falls
@@ -60,10 +62,54 @@ def _write_sidecars(ckpt_dir: str, path: str, step: int,
         _atomic_write(os.path.join(path, "run_config.json"),
                       config_mod.to_json(cfg))
         _atomic_write(os.path.join(ckpt_dir, "LATEST"), str(step))
+        if best is not None:
+            # written with LATEST (i.e. after the step's async commit
+            # finalized), so BEST never points into a half-written dir
+            _atomic_write(os.path.join(ckpt_dir, "BEST"),
+                          json.dumps({"step": best[0], "metric": best[1]}))
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(f"ckpt_save_{step}")
+
+
+def _complete_steps(ckpt_dir: str) -> set[int]:
+    """Loadable steps: committed dir (Orbax keeps uncommitted writes in
+    tmp-suffixed dirs the regex skips) + config sidecar present."""
+    if not os.path.isdir(ckpt_dir):
+        return set()
+    return {
+        int(m.group(1))
+        for d in os.listdir(ckpt_dir)
+        if (m := re.fullmatch(r"step_(\d+)", d))
+        and os.path.exists(os.path.join(ckpt_dir, d, "run_config.json"))
+    }
+
+
+def prune(ckpt_dir: str, keep_last: int, protect=()) -> list[int]:
+    """Delete all but the newest ``keep_last`` complete checkpoints
+    (reference kept ONE file, SURVEY §2.1 checkpoint row; at flagship state
+    size — 319 MB — keep-all writes ~64 GB over a 100k-step run).
+
+    Never removes: the ``protect``-ed steps (the best-holdout checkpoint),
+    the step the LATEST pointer names (rollback-resume intent must survive),
+    or incomplete dirs (an in-flight async commit).  Call only after the
+    current save's sidecars are durable (Saver.wait does).  Returns the
+    pruned steps."""
+    if keep_last <= 0 or jax.process_index() != 0:
+        return []
+    complete = _complete_steps(ckpt_dir)
+    keep = set(sorted(complete)[-keep_last:]) | set(protect)
+    try:
+        with open(os.path.join(ckpt_dir, "LATEST")) as f:
+            keep.add(int(f.read().strip()))
+    except (FileNotFoundError, ValueError):
+        pass
+    pruned = []
+    for step in sorted(complete - keep):
+        shutil.rmtree(_step_path(ckpt_dir, step), ignore_errors=True)
+        pruned.append(step)
+    return pruned
 
 
 class Saver:
@@ -78,29 +124,40 @@ class Saver:
 
     def __init__(self):
         self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
-        self._pending: tuple[str, str, int, config_mod.RunConfig] | None = None
+        self._pending = None
 
     def save(self, ckpt_dir: str, step: int, tree: dict,
-             cfg: config_mod.RunConfig, blocking: bool = False) -> str:
+             cfg: config_mod.RunConfig, blocking: bool = False,
+             keep_last: int = 0,
+             best: tuple[int, float] | None = None) -> str:
+        """``keep_last`` > 0 enables retention: after this save commits, all
+        but the newest ``keep_last`` checkpoints are pruned, EXCEPT the
+        ``best`` step (the best-holdout checkpoint, also recorded in the
+        ``BEST`` sidecar as {step, metric})."""
         self.wait()
         path = _step_path(ckpt_dir, step)
         os.makedirs(ckpt_dir, exist_ok=True)
         # force=True: idempotent (e.g. preemption save + final save at the
         # same step)
         self._ckptr.save(path, args=ocp.args.PyTreeSave(tree), force=True)
-        self._pending = (ckpt_dir, path, step, cfg)
+        self._pending = (ckpt_dir, path, step, cfg, keep_last, best)
         if blocking:
             self.wait()
         return path
 
     def wait(self) -> None:
-        """Block until the in-flight save (if any) is durable + sidecars."""
+        """Block until the in-flight save (if any) is durable + sidecars,
+        then apply the retention policy (prune runs strictly after the new
+        step is complete, so an interrupted prune can only over-retain)."""
         if self._pending is None:
             return
         self._ckptr.wait_until_finished()
-        ckpt_dir, path, step, cfg = self._pending
+        ckpt_dir, path, step, cfg, keep_last, best = self._pending
         self._pending = None
-        _write_sidecars(ckpt_dir, path, step, cfg)
+        _write_sidecars(ckpt_dir, path, step, cfg, best)
+        if keep_last > 0:
+            prune(ckpt_dir, keep_last,
+                  protect=() if best is None else (best[0],))
 
     def close(self) -> None:
         # close the checkpointer even if the pending wait raises (disk-full
@@ -154,6 +211,19 @@ def latest_step(ckpt_dir: str) -> int | None:
     # caller would crash inside Orbax instead of getting the clean
     # no-checkpoints FileNotFoundError)
     return max(complete) if complete else None
+
+
+def best_info(ckpt_dir: str) -> tuple[int, float] | None:
+    """(step, metric) of the best-holdout checkpoint per the ``BEST``
+    sidecar, or None if absent / no longer loadable.  Written by runs with
+    retention enabled (Chassis tracks holdout recon CE at each save)."""
+    try:
+        with open(os.path.join(ckpt_dir, "BEST")) as f:
+            d = json.load(f)
+        step, metric = int(d["step"]), float(d["metric"])
+    except (OSError, ValueError, KeyError):
+        return None
+    return (step, metric) if step in _complete_steps(ckpt_dir) else None
 
 
 def load_config(ckpt_dir: str, step: int | None = None):

@@ -154,6 +154,12 @@ class TrainConfig:
     seed: int = 0
     n_steps: int = 100000
     ckpt_every: int = 1000
+    ckpt_keep: int = 0        # retention: >0 keeps only the newest N
+                              # checkpoints PLUS the best-holdout one (BEST
+                              # sidecar) and the LATEST-pointed step; 0
+                              # keeps everything.  At flagship state size
+                              # (319 MB) keep-all writes ~64 GB per 100k
+                              # steps at ckpt_every=500
     log_every: int = 50
     holdout_every: int = 0    # >0: every k-th clip is held out of training
                               # and used by Chassis.evaluate()

@@ -10,6 +10,10 @@ publishes no numbers and its mount is empty, so the baseline is an equivalent
 PyTorch CPU implementation of the same model/step measured on this machine
 via scripts/torch_baseline.py; the stored constant below is its measured
 samples/sec.  The north-star target is >= 10x.
+
+Env: BENCH_REQUIRE_TPU=1 makes a failed backend probe exit 75 (a structured
+"TPU unavailable, retry later" skip for queue scripts — see scripts/tpu_queue*)
+instead of the driver-friendly rc=0 no-op.
 """
 
 from __future__ import annotations

@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--ckpt-dir", required=True)
-    p.add_argument("--step", type=int, default=None)
+    p.add_argument("--step", default=None,
+                   help="checkpoint step (default latest); 'best' picks the "
+                        "best-holdout checkpoint from the BEST sidecar "
+                        "(runs with train.ckpt_keep retention write it)")
     p.add_argument("--data", required=True)
     p.add_argument("--clips", default="0", help="comma list of clip indices")
     p.add_argument("--n-samples", type=int, default=16000)
@@ -48,7 +51,17 @@ def main(argv=None) -> int:
     from ae_wavenet_tpu.models import registry
     from ae_wavenet_tpu.training import checkpoint as ckpt_mod
 
-    step, tree, cfg = ckpt_mod.load(a.ckpt_dir, a.step)
+    if a.step == "best":
+        info = ckpt_mod.best_info(a.ckpt_dir)
+        if info is None:
+            raise SystemExit(f"no BEST sidecar under {a.ckpt_dir} (only "
+                             f"retention-enabled runs write one)")
+        a.step = info[0]
+        print(json.dumps({"best_checkpoint": {"step": info[0],
+                                              "eval_recon_ce": info[1]}}),
+              flush=True)
+    step, tree, cfg = ckpt_mod.load(a.ckpt_dir,
+                                    None if a.step is None else int(a.step))
     model = registry.get(cfg.model_kind)
     ref_params, ref_bn = model.init(jax.random.PRNGKey(0), cfg)
     # guarded rebuild (leaf-count/shape validation) shared with

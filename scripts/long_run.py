@@ -33,6 +33,10 @@ def main() -> int:
     ap.add_argument("--steps-per-call", type=int, default=8)
     ap.add_argument("--eval-every", type=int, default=200)
     ap.add_argument("--ckpt-every", type=int, default=500)
+    ap.add_argument("--ckpt-keep", type=int, default=3,
+                    help="retention: keep the newest N checkpoints plus the "
+                         "best-holdout one (0 = keep all; flagship state is "
+                         "319 MB per step dir)")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--data", default=None,
                     help="packed dataset prefix (default: build a 32-clip "
@@ -41,6 +45,19 @@ def main() -> int:
                     help="synthetic fixture size (data-scaling runs; "
                          "ignored with --data)")
     ap.add_argument("--speakers", type=int, default=8)
+    ap.add_argument("--fixture", choices=("v2", "v3"), default="v2",
+                    help="synthetic fixture style: v2 = smooth random-walk "
+                         "modulation; v3 = hard sample-and-hold innovations "
+                         "(the conditioning-gain fixture)")
+    ap.add_argument("--bottleneck", choices=("vq", "vae", "ae", "zero"),
+                    default="vq",
+                    help="bottleneck kind; 'zero' is the pure-AR ablation "
+                         "twin (conditioning gain = zero CE - conditioned CE)")
+    ap.add_argument("--vq-k", type=int, default=512)
+    ap.add_argument("--latent-hz", type=int, choices=(50, 100), default=50,
+                    help="latent frame rate: 100 removes the encoder's "
+                         "stride-2, doubling the VQ information ceiling "
+                         "(ln(K) nats per latent)")
     ap.add_argument("--workdir", default="/tmp/long_run")
     ap.add_argument("--out", default="docs/long_run_r3.jsonl")
     ap.add_argument("--resume", action="store_true")
@@ -59,24 +76,62 @@ def main() -> int:
 
     from ae_wavenet_tpu.data.preprocess import make_synthetic_dataset
     from ae_wavenet_tpu.training.chassis import Chassis
-    from ae_wavenet_tpu.utils.config import (BottleneckConfig, RunConfig,
-                                             TrainConfig, WaveNetConfig)
+    from ae_wavenet_tpu.utils.config import (BottleneckConfig, EncoderConfig,
+                                             RunConfig, TrainConfig,
+                                             WaveNetConfig)
 
     os.makedirs(a.workdir, exist_ok=True)
     prefix = a.data
     if prefix is None:
-        prefix = os.path.join(a.workdir, f"synth{a.clips}")
+        suffix = "" if a.fixture == "v2" else f"_{a.fixture}"
+        prefix = os.path.join(a.workdir, f"synth{a.clips}{suffix}")
         from ae_wavenet_tpu.data.preprocess import synthetic_fixture_current
-        if not synthetic_fixture_current(prefix):
+        if not synthetic_fixture_current(prefix, a.fixture):
             # maximize fixture realism: many speakers, long clips (verdict
             # weak #5) — still synthetic, see module docstring
             if a.tiny:
                 make_synthetic_dataset(prefix, n_clips=8, n_speakers=4,
-                                       clip_len=(14000, 20000), seed=11)
+                                       clip_len=(14000, 20000), seed=11,
+                                       style=a.fixture)
             else:
                 make_synthetic_dataset(prefix, n_clips=a.clips,
                                        n_speakers=a.speakers,
-                                       clip_len=(120_000, 240_000), seed=11)
+                                       clip_len=(120_000, 240_000), seed=11,
+                                       style=a.fixture)
+    # resume must continue on the SAME data: record the resolved prefix in
+    # the workdir and validate it on --resume (round-4 advisor: a --resume
+    # that omits --clips/--fixture would silently rebuild the default
+    # fixture and resume the checkpoint on different data)
+    meta_path = os.path.join(a.workdir, "run_meta.json")
+    if a.resume:
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except OSError:
+            meta = None
+        if meta is not None and meta.get("data_prefix") != prefix:
+            raise SystemExit(
+                f"--resume data mismatch: this workdir trained on "
+                f"{meta.get('data_prefix')!r} but the current flags resolve "
+                f"to {prefix!r}; pass the original --clips/--fixture/--data")
+    else:
+        with open(meta_path, "w") as f:
+            json.dump({"data_prefix": prefix, "clips": a.clips,
+                       "speakers": a.speakers, "fixture": a.fixture,
+                       "bottleneck": a.bottleneck}, f)
+
+    # the zero ablation has no latent, so the aux head (a latent->MFCC
+    # probe) is meaningless there; force it off
+    aux_w = 0.0 if a.bottleneck == "zero" else a.aux_weight
+
+    def make_bn(n_dim: int, vq_k: int) -> BottleneckConfig:
+        extra = {}
+        if a.bottleneck == "vae":
+            # same protocol as scripts/diag_vae.py: free bits + linear KL
+            # annealing over the first half of the run
+            extra = dict(free_nats=0.1, kl_anneal_steps=a.steps // 2)
+        return BottleneckConfig(kind=a.bottleneck, n_dim=n_dim, vq_k=vq_k,
+                                **extra)
 
     if a.tiny:
         from ae_wavenet_tpu.utils.config import tiny_config
@@ -85,28 +140,42 @@ def main() -> int:
         cfg = tiny_config()
         cfg = dataclasses.replace(
             cfg,
-            bottleneck=BottleneckConfig(kind="vq", n_dim=16, vq_k=32),
+            bottleneck=make_bn(16, min(a.vq_k, 32)),
             train=dataclasses.replace(
                 cfg.train, n_steps=a.steps, log_every=a.log_every,
-                ckpt_every=a.ckpt_every, holdout_every=5,
+                ckpt_every=a.ckpt_every, ckpt_keep=a.ckpt_keep,
+                holdout_every=5,
                 steps_per_call=a.steps_per_call,
-                aux_frame_weight=a.aux_weight),
+                aux_frame_weight=aux_w),
         )
     else:
+        enc = EncoderConfig()
+        wn_kw = dict(use_pallas_stack=True)
+        if a.latent_hz == 100:
+            # remove the encoder's stride-2 (100 Hz frames stay 100 Hz
+            # latents); the upsampler must then cover hop_sz=160 not 320
+            enc = EncoderConfig(down_stride=1)
+            wn_kw.update(lc_upsample_strides=(5, 4, 4, 2),
+                         lc_upsample_filters=(10, 8, 8, 4))
         cfg = RunConfig(
-            bottleneck=BottleneckConfig(kind="vq"),
-            wavenet=WaveNetConfig(use_pallas_stack=True),
+            encoder=enc,
+            bottleneck=make_bn(64, a.vq_k),
+            wavenet=WaveNetConfig(**wn_kw),
             train=TrainConfig(
                 batch_sz=a.batch_sz, n_win=a.n_win, n_steps=a.steps,
                 log_every=a.log_every, ckpt_every=a.ckpt_every,
+                ckpt_keep=a.ckpt_keep,
                 holdout_every=5, steps_per_call=a.steps_per_call,
-                aux_frame_weight=a.aux_weight,
+                aux_frame_weight=aux_w,
             ),
         )
     ckpt_dir = os.path.join(a.workdir, "ckpt")
     log_f = open(a.out, "a", buffering=1)
     log_f.write(json.dumps({"run_config": "flagship", "steps": a.steps,
                             "batch": a.batch_sz, "n_win": a.n_win,
+                            "bottleneck": a.bottleneck, "fixture": a.fixture,
+                            "vq_k": a.vq_k, "latent_hz": a.latent_hz,
+                            "clips": a.clips, "data_prefix": prefix,
                             "t_start": time.time()}) + "\n")
     ch = Chassis(cfg, prefix, ckpt_dir=ckpt_dir, log_stream=log_f)
     if a.resume:
@@ -117,7 +186,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from ae_wavenet_tpu.data.dataset import PackedDataset
-    from ae_wavenet_tpu.eval.quality import free_running_report
+    from ae_wavenet_tpu.eval.quality import QUALITY_KEYS, free_running_report
 
     ds = PackedDataset(prefix)
     hold = [i for i in range(len(ds)) if i % 5 == 0]
@@ -139,9 +208,7 @@ def main() -> int:
         rep = free_running_report(
             ch.params, ch.bn_state, ch.cfg, jnp.asarray(q_wav), q_spk,
             jax.random.PRNGKey(0), n_samples=a.quality_samples)
-        q = {k: round(float(rep[k]), 4) for k in
-             ("free_nll", "free_nll_early", "teacher_nll", "spectral_l2",
-              "spectral_l2_vs_silence")}
+        q = {k: round(float(rep[k]), 4) for k in QUALITY_KEYS}
         q["clips"] = clips
         q["n_scored"] = int(rep["n_scored"])
         rec = {"quality_holdout": q, "step": ch.step}

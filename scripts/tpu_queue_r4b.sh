@@ -6,6 +6,8 @@
 set -u
 cd /root/repo
 echo $$ > /tmp/q4b.pid   # part C (tpu_queue_r4c.sh) gates on this
+trap 'rm -f /tmp/q4b.pid' EXIT  # a stale pid file could be recycled by an
+                                # unrelated process; part C would wait forever
 
 note() { echo "$* ($(date -u +%H:%M:%S))" | tee -a /tmp/q4_driver.log; }
 

@@ -13,7 +13,13 @@ note() { echo "$* ($(date -u +%H:%M:%S))" | tee -a /tmp/q4c_driver.log; }
 
 if [ -f /tmp/q4b.pid ]; then
   B=$(cat /tmp/q4b.pid)
-  while kill -0 "$B" 2>/dev/null; do sleep 30; done
+  # bounded wait (24h) + the pid must still be the part-B shell: a reboot can
+  # recycle the pid onto an unrelated long-lived process (advisor round 4)
+  for i in $(seq 1 2880); do
+    kill -0 "$B" 2>/dev/null || break
+    grep -q tpu_queue_r4b "/proc/$B/cmdline" 2>/dev/null || break
+    sleep 30
+  done
   note "part B (pid $B) finished"
 fi
 

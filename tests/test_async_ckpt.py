@@ -136,3 +136,71 @@ def test_latest_pointer_to_nothing_loadable_returns_none(tmp_path):
     assert ckpt_mod.latest_step(d) is None
     with pytest.raises(FileNotFoundError):
         ckpt_mod.load(d)
+
+
+def test_prune_keep_last_and_protect(tmp_path):
+    """Retention: keep newest N + protected best + LATEST-pointed step;
+    incomplete dirs are untouched."""
+    cfg = tiny_config()
+    d = str(tmp_path / "ck")
+    saver = ckpt_mod.Saver()
+    for s in (10, 20, 30):
+        saver.save(d, s, _tree(float(s)), cfg, blocking=True)
+    # step 10 is the "best" checkpoint; keep_last=2 via the next save
+    saver.save(d, 40, _tree(4.0), cfg, blocking=True, keep_last=2,
+               best=(10, 3.14))
+    saver.close()
+    steps = ckpt_mod._complete_steps(d)
+    assert steps == {10, 30, 40}          # 20 pruned; 10 protected as best
+    assert ckpt_mod.best_info(d) == (10, 3.14)
+    assert ckpt_mod.latest_step(d) == 40
+    # best sidecar pointing at a pruned step -> None (not a stale pointer)
+    import shutil
+    shutil.rmtree(tmp_path / "ck" / "step_00000010")
+    assert ckpt_mod.best_info(d) is None
+
+
+def test_prune_never_removes_latest_pointer_target(tmp_path):
+    """A rollback-resume repointed LATEST at an older step; retention must
+    not prune it even when it falls outside keep_last."""
+    cfg = tiny_config()
+    d = str(tmp_path / "ck")
+    for s in (10, 20, 30):
+        ckpt_mod.save(d, s, _tree(float(s)), cfg)
+    ckpt_mod.save(d, 15, _tree(1.5), cfg)   # rollback: LATEST -> 15
+    pruned = ckpt_mod.prune(d, keep_last=1)
+    assert 15 not in pruned and 30 not in pruned
+    assert ckpt_mod.latest_step(d) == 15
+
+
+def test_chassis_retention_e2e(tmp_path):
+    """Chassis with ckpt_keep: a run leaves O(keep) checkpoints plus the
+    best-holdout one, BEST survives resume, and the best checkpoint's CE
+    matches the eval stream."""
+    import io
+
+    from ae_wavenet_tpu.data.preprocess import make_synthetic_dataset
+    from ae_wavenet_tpu.training.chassis import Chassis
+
+    prefix = str(tmp_path / "synth")
+    make_synthetic_dataset(prefix, n_clips=4, n_speakers=2,
+                           clip_len=(4000, 6000))
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, ckpt_every=2, log_every=2,
+                                       ckpt_keep=1, holdout_every=2))
+    d = str(tmp_path / "ck")
+    ch = Chassis(cfg, prefix, ckpt_dir=d, log_stream=io.StringIO())
+    ch.train(8, eval_every=2)
+    ch.close()
+    steps = ckpt_mod._complete_steps(d)
+    best = ckpt_mod.best_info(d)
+    assert best is not None
+    assert steps <= {8, best[0]} and 8 in steps
+    # resume picks the tracking back up (pre-resume best is not pruned away)
+    ch2 = Chassis(cfg, prefix, ckpt_dir=d, log_stream=io.StringIO())
+    ch2.resume()
+    assert ch2.best_ckpt == best
+    ch2.train(4, eval_every=2)
+    ch2.close()
+    assert ckpt_mod.best_info(d) is not None
