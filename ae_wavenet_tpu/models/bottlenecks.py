@@ -50,12 +50,20 @@ def init(key: jax.Array, cfg: BottleneckConfig):
         # initial output distribution, so one code captures everything and
         # usage collapses (perplexity ~1) for hundreds of steps; 1/sqrt(D)
         # keeps codes inside the data cloud from step one
-        codebook = jax.random.normal(
-            key, (cfg.vq_k, cfg.n_dim), jnp.float32
-        ) * (1.0 / jnp.sqrt(cfg.n_dim))
+        g = cfg.vq_groups
+        if g == 1:
+            shape, counts_shape = (cfg.vq_k, cfg.n_dim), (cfg.vq_k,)
+        else:
+            # grouped (product) VQ: G independent codebooks over D/G-dim
+            # sub-vectors — the bottleneck's information ceiling scales to
+            # G * ln(K) nats/latent (SoundStream/EnCodec-style capacity)
+            shape = (g, cfg.vq_k, cfg.n_dim // g)
+            counts_shape = (g, cfg.vq_k)
+        codebook = jax.random.normal(key, shape, jnp.float32) * (
+            1.0 / jnp.sqrt(shape[-1]))
         state = {
             "codebook": codebook,
-            "ema_counts": jnp.ones((cfg.vq_k,), jnp.float32),
+            "ema_counts": jnp.ones(counts_shape, jnp.float32),
             "ema_sums": codebook.copy(),
         }
         return {}, state
@@ -121,42 +129,61 @@ def _apply_vq(state, cfg: BottleneckConfig, z, rng, step, train,
               axis_name=None):
     # z: [B, D, T] -> flatten to [N, D].  Under shard_map DP (axis_name set)
     # z is the LOCAL shard; EMA statistics are psum'd to the global batch.
+    #
+    # The computation carries a leading GROUP axis throughout (grouped /
+    # product VQ, cfg.vq_groups > 1: G independent codebooks over D/G-dim
+    # sub-vectors).  G == 1 keeps the historical unbatched state shapes
+    # ([K, D] codebook) so existing checkpoints load unchanged; the [1, ...]
+    # views below are free.
     b, d, t = z.shape
+    G = max(1, cfg.vq_groups)
+    dg = d // G
     if axis_name is not None:
         # decorrelate per-replica stochastic choices (jitter, restarts)
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
-    e = state["codebook"]  # [K, D]
+    e = state["codebook"]          # [K, D] (G=1) or [G, K, D/G]
+    eg = e if e.ndim == 3 else e[None]
+    cnt0 = state["ema_counts"]
+    cntg = cnt0 if cnt0.ndim == 2 else cnt0[None]
+    sum0 = state["ema_sums"]
+    sumg = sum0 if sum0.ndim == 3 else sum0[None]
     zf = jnp.reshape(jnp.transpose(z, (0, 2, 1)), (b * t, d))
+    n_vec = b * t
     if cfg.vq_use_pallas:
+        # fused kernel path (G == 1 only, validated at config construction)
         from ae_wavenet_tpu.ops.vq_pallas import vq_lookup_fused
 
         idx, q, counts, sums = vq_lookup_fused(
-            jax.lax.stop_gradient(zf), e, tile_n=min(512, max(8, b * t))
+            jax.lax.stop_gradient(zf), e, tile_n=min(512, max(8, n_vec))
         )
+        counts, sums, q = counts[None], sums[None], q
     else:
-        # squared distances via MXU-friendly contraction
+        zg = jnp.transpose(jnp.reshape(zf, (n_vec, G, dg)), (1, 0, 2))
+        # squared distances via MXU-friendly contraction, per group
         d2 = (
-            jnp.sum(jnp.square(zf), axis=1, keepdims=True)
-            - 2.0 * (zf @ e.T)
-            + jnp.sum(jnp.square(e), axis=1)[None, :]
-        )  # [N, K]
-        idx = jnp.argmin(d2, axis=1)  # [N]
-        onehot = jax.nn.one_hot(idx, cfg.vq_k, dtype=jnp.float32)  # [N, K]
-        q = onehot @ e  # [N, D]
+            jnp.sum(jnp.square(zg), axis=2, keepdims=True)
+            - 2.0 * jnp.einsum("gnd,gkd->gnk", zg, eg)
+            + jnp.sum(jnp.square(eg), axis=2)[:, None, :]
+        )  # [G, N, K]
+        idx = jnp.argmin(d2, axis=2)  # [G, N]
+        onehot = jax.nn.one_hot(idx, cfg.vq_k, dtype=jnp.float32)  # [G, N, K]
+        qg = jnp.einsum("gnk,gkd->gnd", onehot, eg)  # [G, N, dg]
+        q = jnp.reshape(jnp.transpose(qg, (1, 0, 2)), (n_vec, d))
 
         # EMA codebook statistics over the GLOBAL batch (sharded-N
         # contraction compiles to a psum over the data axis under pjit).
-        counts = jnp.sum(onehot, axis=0)  # [K]
-        sums = onehot.T @ jax.lax.stop_gradient(zf)  # [K, D]
+        counts = jnp.sum(onehot, axis=1)  # [G, K]
+        sums = jnp.einsum("gnk,gnd->gkd", onehot,
+                          jax.lax.stop_gradient(zg))  # [G, K, dg]
     if axis_name is not None:
         counts = jax.lax.psum(counts, axis_name)
         sums = jax.lax.psum(sums, axis_name)
     decay = cfg.ema_decay
-    new_counts = decay * state["ema_counts"] + (1.0 - decay) * counts
-    new_sums = decay * state["ema_sums"] + (1.0 - decay) * sums
-    n = jnp.sum(new_counts)
+    new_counts = decay * cntg + (1.0 - decay) * counts
+    new_sums = decay * sumg + (1.0 - decay) * sums
+    n = jnp.sum(new_counts, axis=1, keepdims=True)  # [G, 1]
     smoothed = (new_counts + cfg.ema_eps) / (n + cfg.vq_k * cfg.ema_eps) * n
-    new_codebook = new_sums / smoothed[:, None]
+    new_codebook = new_sums / smoothed[..., None]
 
     if cfg.vq_restart_thresh > 0.0:
         # dead-code random restarts (SoundStream/Jukebox-style): codes whose
@@ -166,22 +193,27 @@ def _apply_vq(state, cfg: BottleneckConfig, z, rng, step, train,
         # the gather of replicated indices from the sharded batch yields
         # identical candidates on every replica.
         rng_r = jax.random.fold_in(rng, 1)
+        ridx = jax.random.randint(rng_r, (G, cfg.vq_k), 0, n_vec)
+        zg_all = jnp.transpose(jnp.reshape(zf, (n_vec, G, dg)), (1, 0, 2))
         cand = jax.lax.stop_gradient(
-            zf[jax.random.randint(rng_r, (cfg.vq_k,), 0, zf.shape[0])]
-        )
+            jnp.take_along_axis(zg_all, ridx[..., None], axis=1)
+        )  # [G, K, dg]
         if axis_name is not None:
             # every replica must re-seed dead codes IDENTICALLY: broadcast
             # replica 0's candidates (rng was decorrelated above)
             mine = (jax.lax.axis_index(axis_name) == 0).astype(cand.dtype)
             cand = jax.lax.psum(cand * mine, axis_name)
-        dead = new_counts < cfg.vq_restart_thresh
-        new_codebook = jnp.where(dead[:, None], cand, new_codebook)
-        new_sums = jnp.where(dead[:, None], cand, new_sums)
+        dead = new_counts < cfg.vq_restart_thresh  # [G, K]
+        new_codebook = jnp.where(dead[..., None], cand, new_codebook)
+        new_sums = jnp.where(dead[..., None], cand, new_sums)
         new_counts = jnp.where(dead, 1.0, new_counts)
         n_restarts = jnp.sum(dead.astype(jnp.float32))
     else:
         n_restarts = jnp.float32(0.0)
 
+    if e.ndim == 2:  # restore the historical G=1 state shapes
+        new_codebook, new_counts, new_sums = (
+            new_codebook[0], new_counts[0], new_sums[0])
     new_state = {
         "codebook": new_codebook if train else state["codebook"],
         "ema_counts": new_counts if train else state["ema_counts"],
@@ -196,8 +228,11 @@ def _apply_vq(state, cfg: BottleneckConfig, z, rng, step, train,
     if train and cfg.jitter_p > 0.0:
         zq = _jitter(zq, rng, cfg.jitter_p)
 
-    avg = counts / jnp.maximum(jnp.sum(counts), 1.0)
-    perplexity = jnp.exp(-jnp.sum(avg * jnp.log(jnp.maximum(avg, 1e-10))))
+    # per-group usage perplexity, averaged over groups (scale stays
+    # comparable to K; the JOINT codeword perplexity would be the product)
+    avg = counts / jnp.maximum(jnp.sum(counts, axis=-1, keepdims=True), 1.0)
+    perplexity = jnp.mean(
+        jnp.exp(-jnp.sum(avg * jnp.log(jnp.maximum(avg, 1e-10)), axis=-1)))
     if cfg.vq_warmup_steps > 0:
         # commitment warmup: see BottleneckConfig.vq_warmup_steps
         w = jnp.minimum(step.astype(jnp.float32) / cfg.vq_warmup_steps, 1.0)

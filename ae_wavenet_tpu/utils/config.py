@@ -42,6 +42,15 @@ class BottleneckConfig:
     n_dim: int = 64
     # --- vq ---
     vq_k: int = 512           # codebook size
+    vq_groups: int = 1        # grouped (product) VQ: G independent codebooks
+                              # over D/G-dim sub-vectors.  Raises the
+                              # bottleneck's information ceiling to
+                              # G * ln(vq_k) nats per latent frame
+                              # (SoundStream/EnCodec-style capacity) — the
+                              # flagship single-group ceiling, 50 Hz *
+                              # ln(512) / 16 kHz = 0.0195 nats/sample, is
+                              # below measurement noise for the
+                              # conditioning-gain experiment
     vq_beta: float = 0.25     # commitment loss weight
     ema_decay: float = 0.99
     ema_eps: float = 1e-5     # Laplace smoothing of EMA counts
@@ -66,6 +75,16 @@ class BottleneckConfig:
     # --- vae ---
     free_nats: float = 0.0    # per-dim KL floor (free bits)
     kl_anneal_steps: int = 0  # linear KL-weight ramp; 0 = constant 1.0
+
+    def __post_init__(self):
+        if self.vq_groups < 1 or self.n_dim % self.vq_groups:
+            raise ValueError(
+                f"vq_groups={self.vq_groups} must be >= 1 and divide "
+                f"n_dim={self.n_dim}")
+        if self.vq_groups > 1 and self.vq_use_pallas:
+            raise ValueError(
+                "vq_use_pallas supports vq_groups=1 only (the fused kernel "
+                "is single-codebook; the XLA path is the shipped default)")
 
 
 @dataclasses.dataclass(frozen=True)

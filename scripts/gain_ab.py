@@ -46,6 +46,9 @@ def main() -> int:
     ap.add_argument("--speakers", type=int, default=8)
     ap.add_argument("--bottlenecks", default="zero,ae,vq")
     ap.add_argument("--vq-k", type=int, default=512)
+    ap.add_argument("--vq-groups", type=int, default=1,
+                    help="grouped (product) VQ: multiplies the information "
+                         "ceiling by G")
     ap.add_argument("--latent-hz", type=int, choices=(50, 100), default=50)
     ap.add_argument("--batch-sz", type=int, default=4)
     ap.add_argument("--n-win", type=int, default=48000)
@@ -100,7 +103,8 @@ def main() -> int:
             return dc.replace(
                 cfg,
                 bottleneck=BottleneckConfig(kind=kind, n_dim=16,
-                                            vq_k=min(a.vq_k, 32), **extra),
+                                            vq_k=min(a.vq_k, 32),
+                                            vq_groups=a.vq_groups, **extra),
                 train=dc.replace(cfg.train, n_steps=a.steps, log_every=50,
                                  ckpt_every=0, holdout_every=5,
                                  seed=a.seed,
@@ -115,7 +119,8 @@ def main() -> int:
                          lc_upsample_filters=(10, 8, 8, 4))
         return RunConfig(
             encoder=enc,
-            bottleneck=BottleneckConfig(kind=kind, vq_k=a.vq_k, **extra),
+            bottleneck=BottleneckConfig(kind=kind, vq_k=a.vq_k,
+                                        vq_groups=a.vq_groups, **extra),
             wavenet=WaveNetConfig(**wn_kw),
             train=TrainConfig(batch_sz=a.batch_sz, n_win=a.n_win,
                               n_steps=a.steps, log_every=50, ckpt_every=0,

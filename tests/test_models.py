@@ -244,3 +244,78 @@ def test_mu_ce_layouts_agree():
     a = _common.mu_ce(logits, targets, btq=False)
     b = _common.mu_ce(_jnp.transpose(logits, (0, 2, 1)), targets, btq=True)
     _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b), rtol=1e-6)
+
+
+# ------------------------------------------------------------- grouped VQ
+
+def test_vq_grouped_matches_numpy_oracle():
+    """vq_groups=2: per-group argmin/EMA/quantize equal an independent
+    numpy implementation over each D/G-dim sub-vector."""
+    cfg = BottleneckConfig(kind="vq", n_dim=4, vq_k=8, jitter_p=0.0,
+                           vq_groups=2)
+    _, state = bottlenecks.init(jax.random.PRNGKey(0), cfg)
+    assert np.asarray(state["codebook"]).shape == (2, 8, 2)
+    rng = np.random.default_rng(0)
+    z = rng.normal(size=(2, 4, 6)).astype(np.float32)
+
+    zq, new_state, aux = bottlenecks.apply(
+        {}, state, cfg, jnp.asarray(z), jax.random.PRNGKey(1), jnp.int32(0),
+        True)
+
+    zf = z.transpose(0, 2, 1).reshape(-1, 4)
+    q_want = np.zeros_like(zf)
+    for g in range(2):
+        e = np.asarray(state["codebook"])[g]          # [8, 2]
+        zg = zf[:, g * 2 : (g + 1) * 2]
+        d2 = ((zg[:, None, :] - e[None, :, :]) ** 2).sum(-1)
+        idx = d2.argmin(1)
+        q_want[:, g * 2 : (g + 1) * 2] = e[idx]
+        onehot = np.eye(8)[idx]
+        dec = cfg.ema_decay
+        nc = dec * np.asarray(state["ema_counts"])[g] + (1 - dec) * onehot.sum(0)
+        ns = dec * np.asarray(state["ema_sums"])[g] + (1 - dec) * (onehot.T @ zg)
+        n = nc.sum()
+        smoothed = (nc + cfg.ema_eps) / (n + 8 * cfg.ema_eps) * n
+        np.testing.assert_allclose(np.asarray(new_state["ema_counts"])[g],
+                                   nc, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_state["codebook"])[g],
+                                   ns / smoothed[:, None], rtol=1e-4)
+    q = np.asarray(zq).transpose(0, 2, 1).reshape(-1, 4)
+    np.testing.assert_allclose(q, q_want, rtol=1e-4, atol=1e-6)
+    want_commit = ((zf - q_want) ** 2).sum(-1).mean()
+    np.testing.assert_allclose(float(aux["commitment"]), want_commit,
+                               rtol=1e-4)
+
+
+def test_vq_grouped_straight_through_and_restarts():
+    # threshold above the one-step EMA floor (0.99*1 + 0.01*0 = 0.99) so
+    # codes unused in this single step count as dead
+    cfg = BottleneckConfig(kind="vq", n_dim=4, vq_k=8, jitter_p=0.0,
+                           vq_groups=2, vq_restart_thresh=0.995)
+    _, state = bottlenecks.init(jax.random.PRNGKey(0), cfg)
+    z = jnp.asarray(np.random.default_rng(1).normal(size=(1, 4, 5)),
+                    jnp.float32)
+
+    def f(zz):
+        zq, _, aux = bottlenecks.apply({}, state, cfg, zz,
+                                       jax.random.PRNGKey(1), jnp.int32(0),
+                                       True)
+        return jnp.sum(zq * 2.0)
+
+    g = jax.grad(f)(z)
+    # STE: gradient passes through the quantizer unchanged
+    np.testing.assert_allclose(np.asarray(g), 2.0 * np.ones_like(g),
+                               rtol=1e-6)
+    # aggressive restart threshold: unused codes get re-seeded this step
+    _, ns, aux = bottlenecks.apply({}, state, cfg, z, jax.random.PRNGKey(1),
+                                   jnp.int32(0), True)
+    assert float(aux["restarts"]) > 0
+    assert np.asarray(ns["codebook"]).shape == (2, 8, 2)
+    assert np.isfinite(np.asarray(ns["codebook"])).all()
+
+
+def test_vq_groups_config_validation():
+    with pytest.raises(ValueError, match="vq_groups"):
+        BottleneckConfig(kind="vq", n_dim=6, vq_groups=4)
+    with pytest.raises(ValueError, match="vq_use_pallas"):
+        BottleneckConfig(kind="vq", n_dim=8, vq_groups=2, vq_use_pallas=True)
