@@ -147,9 +147,12 @@ def main() -> int:
     header = {
         "gain_ab": {"fixture": a.fixture, "clips": a.clips,
                     "steps": a.steps, "seed": a.seed, "vq_k": a.vq_k,
+                    "vq_groups": a.vq_groups,
                     "latent_hz": a.latent_hz, "kinds": kinds},
         # the VQ channel-capacity ceiling on teacher-forced CE gain
-        "vq_gain_ceiling_nats": round(a.latent_hz * math.log(a.vq_k) / sr, 4),
+        # (G independent codebooks transmit G * ln(K) nats per latent frame)
+        "vq_gain_ceiling_nats": round(
+            a.latent_hz * a.vq_groups * math.log(a.vq_k) / sr, 4),
     }
     emit(header)
     ce = {}
