@@ -129,6 +129,67 @@ def pack_for_pallas_int8(params: dict, cfg: WaveNetConfig) -> Int8GenParams:
     )
 
 
+class Int4GenParams(NamedTuple):
+    """int4 weight streaming: nibble-packed bytes halve the HBM weight
+    traffic AGAIN vs int8 (the throughput bound).  Byte [i, j] packs the
+    4-bit codes of rows i (hi nibble, signed [-7, 7]) and i + IN/2 (lo
+    nibble, zero-point 8 unsigned [1, 15]) of the same output column j;
+    the kernel unpacks with one arithmetic shift + one mask and contracts
+    both halves on the MXU in int8 (zero-point folded into a row-sum
+    correction).  Scales are per-output-channel over the FULL column."""
+
+    w_in_p: jax.Array     # [L, XIN_PAD//2, 2*n_dil] int8 (nibble pairs)
+    w_in_s: jax.Array     # [L, 1, 2*n_dil] f32
+    b_in: jax.Array       # [L, 2*n_dil] f32
+    w_out_p: jax.Array    # [L, n_dil//2, n_res + n_skp] int8
+    w_out_s: jax.Array    # [L, 1, n_res + n_skp] f32
+    b_out: jax.Array      # [L, n_res + n_skp] f32
+    embed: jax.Array
+    post1_w: jax.Array
+    post1_b: jax.Array
+    post2_w: jax.Array
+    post2_b: jax.Array
+
+
+def quantize_int4_pair(w: jax.Array):
+    """w [..., IN, OUT] -> (nibble-packed [..., IN//2, OUT] int8 bytes,
+    [..., 1, OUT] f32 per-out-channel scales).  W_top = s*hi,
+    W_bot = s*(lo - 8)."""
+    s = jnp.max(jnp.abs(w), axis=-2, keepdims=True) / 7.0
+    s = jnp.maximum(s, 1e-12)
+    q = jnp.clip(jnp.round(w / s), -7, 7).astype(jnp.int32)
+    half = w.shape[-2] // 2
+    hi = q[..., :half, :]
+    lo = q[..., half:, :] + 8  # [1, 15]
+    packed = ((hi << 4) | lo).astype(jnp.int8)
+    return packed, s.astype(jnp.float32)
+
+
+def pack_for_pallas_int4(params: dict, cfg: WaveNetConfig) -> Int4GenParams:
+    p = pack_for_pallas(params, cfg)
+    w_in_p, w_in_s = quantize_int4_pair(p.w_in.astype(jnp.float32))
+    w_out_p, w_out_s = quantize_int4_pair(p.w_out.astype(jnp.float32))
+    return Int4GenParams(
+        w_in_p=w_in_p, w_in_s=w_in_s, b_in=p.b_in,
+        w_out_p=w_out_p, w_out_s=w_out_s, b_out=p.b_out,
+        embed=p.embed, post1_w=p.post1_w, post1_b=p.post1_b,
+        post2_w=p.post2_w, post2_b=p.post2_b,
+    )
+
+
+def _norm_wq(quantized) -> str | None:
+    """Normalize the public ``quantized`` knob: False/None -> None,
+    True/'int8' -> 'int8', 'int4' -> 'int4'."""
+    if quantized in (False, None, "none"):
+        return None
+    if quantized in (True, "int8"):
+        return "int8"
+    if quantized == "int4":
+        return "int4"
+    raise ValueError(f"quantized={quantized!r}: expected bool, 'int8' or "
+                     f"'int4'")
+
+
 def flat_buffers(cfg: WaveNetConfig):
     """Ring-buffer layout: flat [sum(dilations), B, n_res] bf16 with static
     per-layer offsets.  Layer l's slot at step t is off[l] + (t % d_l)."""
@@ -215,7 +276,9 @@ def _fused_pipeline(params, cfg: WaveNetConfig, state: GenState, cond, rng,
     through the remote-TPU tunnel — 3x the kernel time itself)."""
     from ae_wavenet_tpu.ops import fastgen as fg
 
-    packed = (pack_for_pallas_int8 if quantized else pack_for_pallas)(params, cfg)
+    packer = {"int8": pack_for_pallas_int8, "int4": pack_for_pallas_int4,
+              None: pack_for_pallas}[_norm_wq(quantized)]
+    packed = packer(params, cfg)
     flat = state_to_flat(state, cfg)
     cond_gc = fg._with_gc(params, cfg, cond, gc_ids)
     seed = jax.random.randint(rng, (), 0, 2**31 - 1, dtype=jnp.int32)
@@ -229,9 +292,13 @@ def _fused_pipeline(params, cfg: WaveNetConfig, state: GenState, cond, rng,
 
 def generate_auto(params, cfg: WaveNetConfig, state: GenState, cond, rng,
                   gc_ids=None, temperature: float = 1.0, dtype=None,
-                  quantized: bool = False):
+                  quantized=False):
     """Drop-in replacement for fastgen.generate: uses the fused Pallas
     kernel on TPU when the config allows, else the lax.scan path.
+
+    ``quantized``: False (bf16 weights), True/'int8' (int8 weight
+    streaming), or 'int4' (nibble-packed weight streaming — halves HBM
+    weight traffic again; see Int4GenParams).
 
     Returns (ids [B, T], new GenState) like fastgen.generate."""
     from ae_wavenet_tpu.ops import fastgen as fg
@@ -411,7 +478,27 @@ def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
             xin_scr[:, n_res : 2 * n_res] = xb
             xin_scr[:, 2 * n_res : 2 * n_res + n_cond] = cond
 
-            if quantized:
+            if quantized == "int4":
+                # nibble-unpack (one arith shift + one mask, int32 lanes,
+                # hidden under the next layer's weight DMA), then contract
+                # both row-halves on the MXU in int8; the lo plane's
+                # zero-point 8 folds into a row-sum correction
+                xin_f = xin_scr[:].astype(jnp.float32)
+                sx = jnp.maximum(jnp.max(jnp.abs(xin_f)), 1e-9) * (1.0 / 127.0)
+                xq = jnp.clip(jnp.round(xin_f / sx), -127, 127).astype(jnp.int8)
+                pk32 = win_scr[l % 2].astype(jnp.int32)
+                w_hi = (pk32 >> 4).astype(jnp.int8)
+                w_lo = (pk32 & 15).astype(jnp.int8)
+                half = xin_pad // 2
+                acc = jnp.dot(xq[:, :half], w_hi,
+                              preferred_element_type=jnp.int32)
+                acc = acc + jnp.dot(xq[:, half:], w_lo,
+                                    preferred_element_type=jnp.int32)
+                zp = 8 * jnp.sum(xq[:, half:].astype(jnp.int32), axis=1,
+                                 keepdims=True)
+                y = (acc - zp).astype(jnp.float32) * (sx * w_in_s_ref[l])
+                y = y + b_in_ref[l][None, :]
+            elif quantized:
                 # dynamic per-tile activation quantization; weights carry
                 # per-out-channel scales
                 xin_f = xin_scr[:].astype(jnp.float32)
@@ -427,7 +514,22 @@ def _make_kernel(cfg: WaveNetConfig, t_len: int, batch: int,
                     preferred_element_type=jnp.float32,
                 ) + b_in_ref[l][None, :]
             h = jnp.tanh(y[:, :n_dil]) * jax.nn.sigmoid(y[:, n_dil:])
-            if quantized:
+            if quantized == "int4":
+                sh = jnp.maximum(jnp.max(jnp.abs(h)), 1e-9) * (1.0 / 127.0)
+                hq = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int8)
+                pk32o = wout_scr[l % 2].astype(jnp.int32)
+                wo_hi = (pk32o >> 4).astype(jnp.int8)
+                wo_lo = (pk32o & 15).astype(jnp.int8)
+                halfo = n_dil // 2
+                acc2 = jnp.dot(hq[:, :halfo], wo_hi,
+                               preferred_element_type=jnp.int32)
+                acc2 = acc2 + jnp.dot(hq[:, halfo:], wo_lo,
+                                      preferred_element_type=jnp.int32)
+                zp2 = 8 * jnp.sum(hq[:, halfo:].astype(jnp.int32), axis=1,
+                                  keepdims=True)
+                rs = (acc2 - zp2).astype(jnp.float32) * (sh * w_out_s_ref[l])
+                rs = rs + b_out_ref[l][None, :]
+            elif quantized:
                 sh = jnp.maximum(jnp.max(jnp.abs(h)), 1e-9) * (1.0 / 127.0)
                 hq = jnp.clip(jnp.round(h / sh), -127, 127).astype(jnp.int8)
                 acc2 = jnp.dot(hq, wout_scr[l % 2],
@@ -527,6 +629,7 @@ def generate_fused(
     """
     batch, n_cond, t_len = cond.shape
     L = len(cfg.dilations)
+    quantized = _norm_wq(quantized)
     kernel, xin_pad, n_small_slots = _make_kernel(
         cfg, t_len, batch, temperature, debug_logits, quantized
     )
@@ -553,6 +656,9 @@ def generate_fused(
         )
 
     w_dtype = jnp.int8 if quantized else jnp.bfloat16
+    # int4 streams nibble-packed bytes: the scratch rows halve
+    w_rows_in = xin_pad // 2 if quantized == "int4" else xin_pad
+    w_rows_out = cfg.n_dil // 2 if quantized == "int4" else cfg.n_dil
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),   # w_in (HBM, manual DMA)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # b_in
@@ -581,8 +687,8 @@ def generate_fused(
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((2, xin_pad, 2 * cfg.n_dil), w_dtype),        # w_in dbl
-            pltpu.VMEM((2, cfg.n_dil, cfg.n_res + cfg.n_skp), w_dtype),
+            pltpu.VMEM((2, w_rows_in, 2 * cfg.n_dil), w_dtype),      # w_in dbl
+            pltpu.VMEM((2, w_rows_out, cfg.n_res + cfg.n_skp), w_dtype),
             pltpu.VMEM((L, batch, cfg.n_res), jnp.bfloat16),         # x_prev
             pltpu.VMEM((batch, xin_pad), jnp.bfloat16),              # xin
             pltpu.VMEM((L, batch, cfg.n_res), jnp.bfloat16),         # x write
@@ -594,7 +700,10 @@ def generate_fused(
         ],
     )
 
-    if quantized:
+    if quantized == "int4":
+        weight_args = (packed.w_in_p, packed.b_in, packed.w_out_p,
+                       packed.b_out, packed.w_in_s, packed.w_out_s)
+    elif quantized:
         weight_args = (packed.w_in_q, packed.b_in, packed.w_out_q,
                        packed.b_out, packed.w_in_s, packed.w_out_s)
     else:

@@ -76,6 +76,8 @@ def main() -> int:
     from ae_wavenet_tpu.ops import fastgen_pallas as fp
 
     quantized = os.environ.get("GEN_INT8", "0") == "1"
+    if os.environ.get("GEN_INT4", "0") == "1":
+        quantized = "int4"
     if jax.devices()[0].platform == "tpu" and fp.supports_fused(cfg, batch):
         ids, _ = fp.generate_auto(params, cfg, state, cond,
                                   jax.random.PRNGKey(3), gc_ids=spk,
@@ -91,7 +93,9 @@ def main() -> int:
             dt = min(dt, time.perf_counter() - t0)
         sps = t_gen / dt
         print(json.dumps({
-            "path": "pallas_fused" + ("_int8" if quantized else ""),
+            "path": "pallas_fused" + (
+                "_int4" if quantized == "int4"
+                else "_int8" if quantized else ""),
             "batch": batch,
             "gen_steps": t_gen,
             "vmem_dil_max": cfg.fastgen_vmem_dil_max,

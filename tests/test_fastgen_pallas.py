@@ -140,3 +140,55 @@ def test_pad_gen_batch_no_gc():
     gen_cond = cond[..., RF : RF + 4]
     _, cond_p, gc_p = fp._pad_gen_batch(state, gen_cond, None, pad=7)
     assert gc_p is None and cond_p.shape[0] == 8
+
+
+def test_int4_pack_roundtrip_oracle():
+    """Nibble packing contract: kernel-side unpack (arith >>4 / &15, zp 8)
+    recovers exactly the quantized planes for random weights."""
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(3, 8, 6)), jnp.float32)
+    packed, s = fp.quantize_int4_pair(w)
+    assert packed.dtype == jnp.int8 and packed.shape == (3, 4, 6)
+    # reference quantization
+    wn = np.asarray(w)
+    sn = np.maximum(np.abs(wn).max(axis=-2, keepdims=True) / 7.0, 1e-12)
+    qn = np.clip(np.round(wn / sn), -7, 7).astype(np.int32)
+    # kernel-side unpack
+    pk32 = np.asarray(packed).astype(np.int32)
+    hi = pk32 >> 4
+    lo = (pk32 & 15) - 8
+    np.testing.assert_array_equal(hi, qn[:, :4, :])
+    np.testing.assert_array_equal(lo, qn[:, 4:, :])
+    np.testing.assert_allclose(np.asarray(s), sn, rtol=1e-6)
+
+
+def test_int4_quantized_logits_close():
+    """int4 weight + int8 activation path: logits close enough to bf16 for
+    sampling (looser than int8 — 4-bit weights; the on-chip quality gate is
+    the generation-quality record in BASELINE.md)."""
+    n = 12
+    params, ids, cond, spk, state = _setup(seed=3, n=n)
+    gen_cond = fastgen._with_gc(params, CFG, cond[..., RF : RF + n], spk)
+    flat = fp.state_to_flat(state, CFG)
+
+    _, _, _, logits_bf16 = fp.generate_fused(
+        fp.pack_for_pallas(params, CFG), CFG, flat, state.prev_id, state.t,
+        gen_cond, jnp.int32(0), temperature=0.0, debug_logits=True,
+        interpret=True,
+    )
+    _, _, _, logits_q = fp.generate_fused(
+        fp.pack_for_pallas_int4(params, CFG), CFG, flat, state.prev_id,
+        state.t, gen_cond, jnp.int32(0), temperature=0.0, debug_logits=True,
+        interpret=True, quantized="int4",
+    )
+    a, b = np.asarray(logits_bf16[0]), np.asarray(logits_q[0])  # first step
+    scale = np.abs(a).max() + 1e-6
+    assert np.abs(a - b).max() / scale < 0.20, np.abs(a - b).max() / scale
+
+
+def test_norm_wq():
+    assert fp._norm_wq(False) is None and fp._norm_wq(None) is None
+    assert fp._norm_wq(True) == "int8" == fp._norm_wq("int8")
+    assert fp._norm_wq("int4") == "int4"
+    with pytest.raises(ValueError):
+        fp._norm_wq("int2")

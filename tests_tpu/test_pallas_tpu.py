@@ -196,8 +196,9 @@ def _prefix_logit_check(primed, quantized: bool, tol: float,
         gc_ids=spk, temperature=0.0, dtype=jnp.bfloat16, return_logits=True,
     )  # ids [B, n], logits [B, Q, n]
 
-    packed = (fp.pack_for_pallas_int8 if quantized
-              else fp.pack_for_pallas)(params, CFG)
+    packed = {None: fp.pack_for_pallas, "int8": fp.pack_for_pallas_int8,
+              "int4": fp.pack_for_pallas_int4}[fp._norm_wq(quantized)](
+        params, CFG)
     flat = fp.state_to_flat(state, CFG)
     cond_gc = fastgen._with_gc(params, CFG, gen_cond[..., :n], spk)
     got_ids, _, _, got_lg = fp.generate_fused(
@@ -237,6 +238,14 @@ def test_compiled_logits_match_scan_prefix_int8(primed):
     tolerance over the agreeing prefix is the real gate; the agreement
     floor only keeps the comparison non-vacuous."""
     _prefix_logit_check(primed, quantized=True, tol=0.10, min_agree_steps=5)
+
+
+def test_compiled_logits_match_scan_prefix_int4(primed):
+    """int4 nibble-packed weight streaming: same prefix comparison with a
+    4-bit-weight tolerance.  The agreement floor keeps the comparison
+    non-vacuous; the per-prefix logits tolerance is the real gate."""
+    _prefix_logit_check(primed, quantized="int4", tol=0.25,
+                        min_agree_steps=2)
 
 
 # ------------------------------------------------------- gated train stack
