@@ -29,6 +29,11 @@ def main(argv=None) -> int:
     p.add_argument("--int8", action="store_true",
                    help="int8 weight-streaming fused kernel (TPU; ~1.3x "
                         "faster AR sampling, slight quantization noise)")
+    p.add_argument("--int4", action="store_true",
+                   help="int4 nibble-packed weight streaming (TPU; halves "
+                        "HBM weight traffic again vs --int8; more "
+                        "quantization noise — check eval_quality before "
+                        "adopting for a given checkpoint)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", required=True, help="output .wav path")
     a = p.parse_args(argv)
@@ -62,7 +67,7 @@ def main(argv=None) -> int:
     ids, start = model.reconstruct(
         params, bn_state, cfg, jnp.asarray(wav), jnp.asarray(spk),
         jax.random.PRNGKey(a.seed), temperature=a.temperature,
-        n_samples=a.n_samples, quantized=a.int8,
+        n_samples=a.n_samples, quantized="int4" if a.int4 else a.int8,
     )
 
     out = np.asarray(mu_decode(ids, cfg.wavenet.n_quant))[0]
