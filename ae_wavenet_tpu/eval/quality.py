@@ -76,12 +76,17 @@ def free_running_report(
     drift (starts near teacher_nll, grows) from a broken model (flat-high
     from position 0).
 
-    Interpretation caveat (measured in docs/BASELINE.md "divergence"): past
-    the first few hundred samples a rollout is a DIFFERENT sample from the
-    audio distribution, so p(ground truth | generated past) is expected to
-    fall even for a perfect model once trajectories decorrelate; the curve's
-    early segment and the spectral distance carry the quality signal, the
-    late tail measures decorrelation.
+    Interpretation caveat (measured in BASELINE.md "divergence" +
+    docs/divergence_fine_r5.jsonl): a rollout is a DIFFERENT sample from the
+    audio distribution, so p(ground truth | generated past) falls even for a
+    perfect model once trajectories decorrelate — and the 16-sample-bucket
+    measurement shows the onset scales inversely with clip predictability:
+    on strongly pitched clips (teacher NLL ~1 nat) decorrelation begins
+    within the FIRST 16 samples, while the noisiest holdout clip never
+    decorrelates over 2k samples.  ``free_nll_early`` (first 64 samples /
+    4 ms) therefore *includes* the onset on pitched content: it is
+    comparable across checkpoints of the same data but is NOT expected to
+    approach teacher_nll.  The long-horizon quality signal is spectral_l2.
 
     Returns the metrics dict plus the generated ids/start offset.
     """
