@@ -88,6 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
     new.add_argument("--n-block-layers", type=int, default=None)
     new.add_argument("--bn-dim", type=int, default=None, help="bottleneck dim")
     new.add_argument("--vq-k", type=int, default=None)
+    new.add_argument("--vq-groups", type=int, default=None,
+                     help="grouped (product) VQ: G independent codebooks "
+                          "over n_dim/G-dim subvectors; multiplies the "
+                          "code-entropy ceiling by G (G=4 is the measured "
+                          "best on the v3 gain protocol, BASELINE.md)")
     new.add_argument("--n-speakers", type=int, default=None)
     new.add_argument("--jitter-p", type=float, default=None)
     new.add_argument("--free-nats", type=float, default=None)
@@ -201,6 +206,7 @@ def config_from_args(a) -> config_mod.RunConfig:
             wn, lc_upsample_filters=tuple(2 * s for s in a.lc_upsample_strides)
         )
     bn = over(bn, kind=a.bottleneck, n_dim=a.bn_dim, vq_k=a.vq_k,
+              vq_groups=a.vq_groups,
               jitter_p=a.jitter_p, free_nats=a.free_nats,
               kl_anneal_steps=a.kl_anneal_steps, ema_decay=a.ema_decay,
               vq_beta=a.vq_beta, vq_restart_thresh=a.vq_restart_thresh,

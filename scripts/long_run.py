@@ -54,6 +54,9 @@ def main() -> int:
                     help="bottleneck kind; 'zero' is the pure-AR ablation "
                          "twin (conditioning gain = zero CE - conditioned CE)")
     ap.add_argument("--vq-k", type=int, default=512)
+    ap.add_argument("--vq-groups", type=int, default=1,
+                    help="grouped (product) VQ codebooks (G=4 measured best "
+                         "on the v3 gain protocol, BASELINE.md)")
     ap.add_argument("--latent-hz", type=int, choices=(50, 100), default=50,
                     help="latent frame rate: 100 removes the encoder's "
                          "stride-2, doubling the VQ information ceiling "
@@ -131,7 +134,7 @@ def main() -> int:
             # annealing over the first half of the run
             extra = dict(free_nats=0.1, kl_anneal_steps=a.steps // 2)
         return BottleneckConfig(kind=a.bottleneck, n_dim=n_dim, vq_k=vq_k,
-                                **extra)
+                                vq_groups=a.vq_groups, **extra)
 
     if a.tiny:
         from ae_wavenet_tpu.utils.config import tiny_config
@@ -174,7 +177,8 @@ def main() -> int:
     log_f.write(json.dumps({"run_config": "flagship", "steps": a.steps,
                             "batch": a.batch_sz, "n_win": a.n_win,
                             "bottleneck": a.bottleneck, "fixture": a.fixture,
-                            "vq_k": a.vq_k, "latent_hz": a.latent_hz,
+                            "vq_k": a.vq_k, "vq_groups": a.vq_groups,
+                            "latent_hz": a.latent_hz,
                             "clips": a.clips, "data_prefix": prefix,
                             "t_start": time.time()}) + "\n")
     ch = Chassis(cfg, prefix, ckpt_dir=ckpt_dir, log_stream=log_f)

@@ -139,6 +139,20 @@ def test_cli_flag_round_trip():
     assert a.tb_logdir == "/tmp/tb" and a.profile_steps == 3 and a.nan_checks
 
 
+def test_cli_vq_groups_round_trip():
+    # separate from the big round-trip test: vq_groups > 1 is mutually
+    # exclusive with --vq-use-pallas (construction-time validation)
+    a = build_parser().parse_args(
+        ["new", "--data", "X", "--preset", "vq", "--vq-groups", "4"])
+    cfg = config_from_args(a)
+    assert cfg.bottleneck.vq_groups == 4
+    a = build_parser().parse_args(
+        ["new", "--data", "X", "--preset", "vq", "--vq-groups", "4",
+         "--vq-use-pallas"])
+    with pytest.raises(ValueError, match="vq_groups=1 only"):
+        config_from_args(a)
+
+
 def test_cli_lr_schedule_length_validated():
     argv = ["new", "--data", "X", "--lr-boundaries", "100",
             "--lr-values", "1e-3"]
