@@ -1,0 +1,55 @@
+#!/bin/bash
+# Round-5 queue, part E (waits for part D to exit): grouped-VQ at scale.
+# One run: flagship VQ with vq_groups=4 on the SAME 256-clip/16-speaker
+# packed data as the vq256/zero256 twins (identical seed/config otherwise)
+# -> the scaled counterpart of the v3 gain table's G=4 row.  Output goes
+# straight to docs/ so a partial run still lands in the end-of-round commit.
+set -u
+cd /root/repo
+echo $$ > /tmp/q5e.pid
+trap 'rm -f /tmp/q5e.pid' EXIT
+
+note() { echo "$* ($(date -u +%H:%M:%S))" | tee -a /tmp/q5_driver.log; }
+
+for i in $(seq 1 240); do
+  pid=$(cat /tmp/q5d.pid 2>/dev/null) || break
+  [ -n "$pid" ] || break
+  grep -q tpu_queue_r5d "/proc/$pid/cmdline" 2>/dev/null || break
+  sleep 60
+done
+note "part D done or absent; starting part E"
+
+wait_tpu() {
+  for i in $(seq 1 120); do
+    if timeout 180 python -c "import jax,jax.numpy as j; (j.ones((8,8))@j.ones((8,8))).block_until_ready()" >/dev/null 2>&1; then
+      note "tpu up (try $i)"; return 0
+    fi
+    sleep 180
+  done
+  note "tpu never came up"; return 1
+}
+
+run() { # name timeout cmd...
+  local name=$1 tmo=$2 rc; shift 2
+  : > "/tmp/q5e_${name}.log"
+  for attempt in 1 2; do
+    note "=== $name attempt $attempt ==="
+    echo "--- attempt $attempt" >> "/tmp/q5e_${name}.log"
+    timeout "$tmo" "$@" >> "/tmp/q5e_${name}.log" 2>&1
+    rc=$?
+    note "exit=$rc $name"
+    [ "$rc" -eq 0 ] && return 0
+    wait_tpu || return 1
+  done
+  return "$rc"
+}
+
+wait_tpu || exit 1
+
+run vqg4_256 3000 python scripts/long_run.py --steps 6000 --clips 256 \
+  --speakers 16 --bottleneck vq --vq-groups 4 --fixture v2 \
+  --data /tmp/vq256/synth256 --quality-every 2000 \
+  --ckpt-every 400 --ckpt-keep 3 --workdir /tmp/vqg4_256 \
+  --out docs/long_run_r5_vqg4_256.jsonl
+
+note "queue E done"
