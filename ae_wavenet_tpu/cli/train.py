@@ -32,6 +32,10 @@ def _add_runtime_flags(p):
     p.add_argument("--n-steps", type=int, default=None)
     p.add_argument("--log-every", type=int, default=None)
     p.add_argument("--ckpt-every", type=int, default=None)
+    p.add_argument("--ckpt-keep", type=int, default=None,
+                   help="retention: keep only the newest N complete "
+                        "checkpoints, plus the best-holdout-CE one "
+                        "(0 = keep everything)")
     p.add_argument("--mesh", action="store_true",
                    help="shard the batch over all visible devices")
     # multi-host (SURVEY.md §2.2: DP over DCN via jax.distributed)
@@ -270,7 +274,7 @@ def main(argv=None) -> int:
 
     cfg = dataclasses.replace(
         cfg, train=over(cfg.train, n_steps=a.n_steps, log_every=a.log_every,
-                        ckpt_every=a.ckpt_every,
+                        ckpt_every=a.ckpt_every, ckpt_keep=a.ckpt_keep,
                         steps_per_call=a.steps_per_call,
                         compute_dtype=getattr(a, "compute_dtype", None))
     )
