@@ -46,6 +46,12 @@ run() { # name timeout cmd...
 
 wait_tpu || exit 1
 
+# green record for the measurement-recalibrated int4 gate (tol 0.25->0.40;
+# both part-C suite attempts collected the pre-fix module)
+run int4_gate 1500 python -m pytest \
+  "tests_tpu/test_pallas_tpu.py::test_compiled_logits_match_scan_prefix_int4" \
+  -q --no-header
+
 run vqg4_256 3000 python scripts/long_run.py --steps 6000 --clips 256 \
   --speakers 16 --bottleneck vq --vq-groups 4 --fixture v2 \
   --data /tmp/vq256/synth256 --quality-every 2000 \
