@@ -49,11 +49,10 @@ def main(argv=None) -> int:
                           "platform": jax.devices()[0].platform}))
         return 75
 
-    from ae_wavenet_tpu.audio.mulaw import mu_decode
+    from ae_wavenet_tpu.audio.mulaw import int16_to_float, mu_decode
     from ae_wavenet_tpu.data.dataset import PackedDataset
     from ae_wavenet_tpu.eval.quality import log_mel_distance
     from ae_wavenet_tpu.models import registry
-    from ae_wavenet_tpu.models.common import int16_to_float
     from ae_wavenet_tpu.training import checkpoint as ckpt_mod
 
     if a.step == "best":
@@ -61,7 +60,8 @@ def main(argv=None) -> int:
         if info is None:
             raise SystemExit(f"no BEST sidecar under {a.ckpt_dir}")
         a.step = info[0]
-    step, tree, cfg = ckpt_mod.load(a.ckpt_dir, a.step)
+    step, tree, cfg = ckpt_mod.load(
+        a.ckpt_dir, None if a.step is None else int(a.step))
     model = registry.get(cfg.model_kind)
     ref_params, ref_bn = model.init(jax.random.PRNGKey(0), cfg)
     params = ckpt_mod.merge_into(ref_params, tree["params"], "params")

@@ -52,6 +52,12 @@ run int4_gate 1500 python -m pytest \
   "tests_tpu/test_pallas_tpu.py::test_compiled_logits_match_scan_prefix_int4" \
   -q --no-header
 
+# retry of part D's qquant (failed on an import bug, fixed since): the
+# quantized-sampler quality gate on the vq256 best checkpoint
+run qquant 2400 python scripts/quality_quantized.py \
+  --ckpt-dir /tmp/vq256/ckpt --step best --data /tmp/vq256/synth256 \
+  --clips 0,5,10,15 --json /tmp/q5e_qquant.jsonl
+
 run vqg4_256 3000 python scripts/long_run.py --steps 6000 --clips 256 \
   --speakers 16 --bottleneck vq --vq-groups 4 --fixture v2 \
   --data /tmp/vq256/synth256 --quality-every 2000 \
