@@ -15,11 +15,12 @@ from ae_wavenet_tpu.training.chassis import make_optimizer, make_train_step
 from ae_wavenet_tpu.utils.config import BottleneckConfig, tiny_config
 
 
-def _cfg():
+def _cfg(vq_groups: int = 1):
     cfg = tiny_config()
     return dataclasses.replace(
         cfg,
-        bottleneck=BottleneckConfig(kind="vq", n_dim=16, vq_k=16, jitter_p=0.0),
+        bottleneck=BottleneckConfig(kind="vq", n_dim=16, vq_k=16, jitter_p=0.0,
+                                    vq_groups=vq_groups),
         train=dataclasses.replace(cfg.train, batch_sz=8),
     )
 
@@ -35,7 +36,23 @@ def _setup(cfg, spec):
 
 
 def test_mesh_step_matches_single_device():
-    cfg = _cfg()
+    _check_mesh_matches_single(_cfg())
+
+
+def test_mesh_step_matches_single_device_grouped_vq():
+    """vq_groups=4: the per-group EMA statistics must ALSO reduce over the
+    global batch (grouped/product VQ is the shipped gain preset).
+
+    params_rtol: the G skinny per-group contractions change the f32
+    reduction order of the auto-psum'd gradients, and Adam's rsqrt(v)+eps
+    at step 0 amplifies that; measured worst case is 1 element / 6912 at
+    0.23% relative on the 8-device CPU mesh.  The EMA state (the thing
+    this test pins) stays at the tight tolerance."""
+    _check_mesh_matches_single(_cfg(vq_groups=4), params_rtol=5e-3,
+                               params_atol=5e-5)
+
+
+def _check_mesh_matches_single(cfg, params_rtol=2e-4, params_atol=2e-5):
     spec = ae.make_window_spec(cfg)
     params, bn_state, optimizer, opt_state, wav, spk = _setup(cfg, spec)
     key = jax.random.PRNGKey(1)
@@ -68,7 +85,8 @@ def test_mesh_step_matches_single_device():
     # updated params match across the whole tree
     flat1, flat2 = jax.tree.leaves(p1), jax.tree.leaves(p2)
     for a, b in zip(flat1, flat2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=params_rtol, atol=params_atol)
 
 
 def test_mesh_two_steps_stay_in_sync():
