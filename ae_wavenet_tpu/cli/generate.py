@@ -30,10 +30,12 @@ def main(argv=None) -> int:
                    help="int8 weight-streaming fused kernel (TPU; ~1.3x "
                         "faster AR sampling, slight quantization noise)")
     p.add_argument("--int4", action="store_true",
-                   help="int4 nibble-packed weight streaming (TPU; halves "
-                        "HBM weight traffic again vs --int8; more "
-                        "quantization noise — check eval_quality before "
-                        "adopting for a given checkpoint)")
+                   help="int4 nibble-packed weight streaming (TPU; 4x "
+                        "smaller weight footprint than bf16 but measured "
+                        "SLOWER than --int8 — unpack overhead exceeds the "
+                        "bandwidth saving (BASELINE.md round-5 grid); use "
+                        "only when HBM capacity-bound, and check "
+                        "scripts/quality_quantized.py for the checkpoint)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", required=True, help="output .wav path")
     a = p.parse_args(argv)
