@@ -46,22 +46,24 @@ run() { # name timeout cmd...
 
 wait_tpu || exit 1
 
-# green record for the measurement-recalibrated int4 gate (tol 0.25->0.40;
-# both part-C suite attempts collected the pre-fix module)
+# 1. green record for the measurement-recalibrated int4 gate (tol
+#    0.25->0.40; both part-C suite attempts collected the pre-fix module)
 run int4_gate 1500 python -m pytest \
   "tests_tpu/test_pallas_tpu.py::test_compiled_logits_match_scan_prefix_int4" \
   -q --no-header
 
-# retry of part D's qquant (failed on an import bug, fixed since): the
-# quantized-sampler quality gate on the vq256 best checkpoint
-run qquant 2400 python scripts/quality_quantized.py \
-  --ckpt-dir /tmp/vq256/ckpt --step best --data /tmp/vq256/synth256 \
-  --clips 0,5,10,15 --json /tmp/q5e_qquant.jsonl
-
+# 2. grouped VQ at scale: the priority result (output straight to docs/
+#    so even a partial run lands in the end-of-round commit)
 run vqg4_256 3000 python scripts/long_run.py --steps 6000 --clips 256 \
   --speakers 16 --bottleneck vq --vq-groups 4 --fixture v2 \
   --data /tmp/vq256/synth256 --quality-every 2000 \
   --ckpt-every 400 --ckpt-keep 3 --workdir /tmp/vqg4_256 \
   --out docs/long_run_r5_vqg4_256.jsonl
+
+# 3. retry of part D's qquant (failed on an import bug, fixed since): the
+#    quantized-sampler quality gate on the vq256 best checkpoint
+run qquant 2400 python scripts/quality_quantized.py \
+  --ckpt-dir /tmp/vq256/ckpt --step best --data /tmp/vq256/synth256 \
+  --clips 0,5,10,15 --json /tmp/q5e_qquant.jsonl
 
 note "queue E done"
