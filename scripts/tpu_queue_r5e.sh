@@ -46,24 +46,39 @@ run() { # name timeout cmd...
 
 wait_tpu || exit 1
 
+# HARD WALL: the round driver runs bench.py on this chip at round end; no
+# queue job may still hold the device then.  Nothing starts after CUTOFF
+# and the guarded run's timeout is clamped to end before it.
+CUTOFF=$(date -u -d "13:08" +%s 2>/dev/null || echo 0)
+
 # 1. green record for the measurement-recalibrated int4 gate (tol
 #    0.25->0.40; both part-C suite attempts collected the pre-fix module)
 run int4_gate 1500 python -m pytest \
   "tests_tpu/test_pallas_tpu.py::test_compiled_logits_match_scan_prefix_int4" \
   -q --no-header
 
-# 2. grouped VQ at scale: the priority result (output straight to docs/
-#    so even a partial run lands in the end-of-round commit)
-run vqg4_256 3000 python scripts/long_run.py --steps 6000 --clips 256 \
-  --speakers 16 --bottleneck vq --vq-groups 4 --fixture v2 \
-  --data /tmp/vq256/synth256 --quality-every 2000 \
-  --ckpt-every 400 --ckpt-keep 3 --workdir /tmp/vqg4_256 \
-  --out docs/long_run_r5_vqg4_256.jsonl
-
-# 3. retry of part D's qquant (failed on an import bug, fixed since): the
+# 2. retry of part D's qquant (failed on an import bug, fixed since): the
 #    quantized-sampler quality gate on the vq256 best checkpoint
-run qquant 2400 python scripts/quality_quantized.py \
+run qquant 1200 python scripts/quality_quantized.py \
   --ckpt-dir /tmp/vq256/ckpt --step best --data /tmp/vq256/synth256 \
   --clips 0,5,10,15 --json /tmp/q5e_qquant.jsonl
+
+# 3. grouped VQ at scale, ONLY if enough wall clock remains (output goes
+#    straight to docs/ so a partial run still lands in the final commit;
+#    holdout evals stream every 200 steps)
+now=$(date -u +%s)
+left=$((CUTOFF - now))
+if [ "$left" -gt 600 ]; then
+  # single attempt, clamped to the wall (run()'s retry could cross it)
+  note "=== vqg4_256 (single attempt, ${left}s budget) ==="
+  timeout "$left" python scripts/long_run.py --steps 6000 --clips 256 \
+    --speakers 16 --bottleneck vq --vq-groups 4 --fixture v2 \
+    --data /tmp/vq256/synth256 --quality-every 2000 \
+    --ckpt-every 400 --ckpt-keep 3 --workdir /tmp/vqg4_256 \
+    --out docs/long_run_r5_vqg4_256.jsonl > /tmp/q5e_vqg4_256.log 2>&1
+  note "exit=$? vqg4_256"
+else
+  note "skipping vqg4_256: only ${left}s before the bench wall"
+fi
 
 note "queue E done"
