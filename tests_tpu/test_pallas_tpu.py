@@ -185,10 +185,14 @@ def _prefix_logit_check(primed, quantized: bool, tol: float,
     weak #4: id agreement >= 0.95 was too loose a gate).
 
     Greedy streams legitimately diverge after a near-tie id flip, so the
-    comparison runs per batch row up to its first id divergence; up to
-    there both programs consumed IDENTICAL inputs and their logits must
-    agree to (accumulated) bf16 tolerance — a far tighter pin on the
-    kernel's numerics than id agreement."""
+    comparison runs per batch row up to its first id divergence — INCLUSIVE:
+    the logits AT the divergence step were still produced from identical
+    input histories (only the step's output id differs), so they are always
+    comparable and every row pins at least step 0's logits even if the ids
+    flip immediately.  Up to there both programs consumed IDENTICAL inputs
+    and their logits must agree to (accumulated) bf16/quantization
+    tolerance — a far tighter pin on the kernel's numerics than id
+    agreement."""
     params, gen_cond, spk, state = primed
     n = 32
     want_ids, _, want_lg = fastgen.generate(
@@ -217,10 +221,14 @@ def _prefix_logit_check(primed, quantized: bool, tol: float,
         diff = np.nonzero(want_ids[r] != got_ids[r])[0]
         t_div = int(diff[0]) if len(diff) else n
         agree_total += t_div
-        if t_div:
-            rel = np.abs(a[r, :t_div] - b[r, :t_div]).max() / scale
-            assert rel < tol, (r, t_div, rel)
-    # streams must stay in lockstep for most of the window on average
+        # inclusive prefix: logits at step t_div itself came from identical
+        # histories, so every row checks at least step 0 (non-vacuous by
+        # construction, no agreement floor needed for that)
+        hi = min(t_div + 1, n)
+        rel = np.abs(a[r, :hi] - b[r, :hi]).max() / scale
+        assert rel < tol, (r, t_div, rel)
+    # lockstep floor: documents measured greedy agreement; the logit check
+    # above is the real gate
     assert agree_total >= min_agree_steps * want_ids.shape[0], (
         agree_total / want_ids.shape[0])
 
@@ -242,18 +250,23 @@ def test_compiled_logits_match_scan_prefix_int8(primed):
 
 def test_compiled_logits_match_scan_prefix_int4(primed):
     """int4 nibble-packed weight streaming: same prefix comparison with a
-    4-bit-weight tolerance.  The agreement floor keeps the comparison
-    non-vacuous; the per-prefix logits tolerance is the real gate.
+    4-bit-weight tolerance.  The inclusive-prefix logits tolerance is the
+    gate; no lockstep floor — measured mean greedy agreement vs the bf16
+    scan cell is only ~1.9 steps standalone on v5e (2026-08-19,
+    /tmp/q5e_int4_gate.log): 16-level quantization perturbs logits by
+    ~0.3 relative, which crosses argmax boundaries almost immediately
+    under temperature-0 decoding.  Trajectory-level fidelity under real
+    (temp 1.0) sampling is gated separately and measured at ~10% of the
+    spectral-quality budget (scripts/quality_quantized.py,
+    docs/quality_quantized_r5.jsonl).
 
     Tolerance calibrated from measurement: max relative logit drift over
     an agreeing greedy prefix is 0.294 on v5e (2026-08-19, /tmp/
     q5c_tests_tpu.log) — 16-level weights accumulate ~3x the int8 drift
     through the 24-layer stack.  0.40 bounds that with headroom while
-    still failing on a packing/scale bug (which shows up as O(1) drift);
-    end-to-end audio fidelity is separately gated by the spectral-distance
-    check (scripts/quality_quantized.py)."""
+    still failing on a packing/scale bug (which shows up as O(1) drift)."""
     _prefix_logit_check(primed, quantized="int4", tol=0.40,
-                        min_agree_steps=2)
+                        min_agree_steps=0)
 
 
 # ------------------------------------------------------- gated train stack
