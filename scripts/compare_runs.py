@@ -61,6 +61,29 @@ def main() -> None:
         print(f"{label:<12} {best:>9.4f} {best_step:>7} "
               f"{sum(late) / len(late):>13.4f} {len(ev):>7}")
 
+    # Paired per-step CE differences over the late third of shared evals.
+    # The arms of a twin/three-way share corpus, seed, and eval protocol,
+    # so the per-step difference cancels the eval-batch noise that makes
+    # single-eval "best CE" snapshots unreliable (BASELINE.md "4x data").
+    labels = [l for l in arms if arms[l]["evals"]]
+    if len(labels) >= 2:
+        maps = {l: dict(arms[l]["evals"]) for l in labels}
+        shared = sorted(set.intersection(*(set(m) for m in maps.values())))
+        late = shared[-max(1, len(shared) // 3):]
+        if len(late) >= 2:
+            print(f"\npaired per-step CE diffs, late third "
+                  f"(evals >= {late[0]}, n={len(late)}):")
+            for i, a in enumerate(labels):
+                for b in labels[i + 1:]:
+                    d = [maps[a][s] - maps[b][s] for s in late]
+                    n = len(d)
+                    mean = sum(d) / n
+                    var = sum((x - mean) ** 2 for x in d) / (n - 1)
+                    se = (var / n) ** 0.5
+                    wins = sum(1 for x in d if x > 0)
+                    print(f"  {a} - {b}: mean {mean:+.4f} +/- {se:.4f} (SE), "
+                          f"{b}-wins {wins}/{n}")
+
     steps = sorted({s for d in arms.values() for s, _ in d["quality"]})
     if steps:
         print(f"\nquality probes (spectral_l2 | teacher_nll | free_nll):")
